@@ -1,0 +1,247 @@
+"""Changefeed replay engine: the deterministic epoch loop (SURVEY.md §3.2/§7).
+
+Per epoch:
+
+  read log slice (checkpoint < commit_ts <= barrier)   — S1/S2, pushdown
+    → apply DDLs to the registry (driver-side, ordered) — S3/D1/D5/K9
+    → decode payload JSON per schema version, project
+      onto the barrier version with defaults           — M1/J1 (vectorized
+                                                          from_json, JVM-side)
+    → per-key compaction (LWW fold + I..D elimination)  — O1-O3/A1/W2
+    → per-bucket lineage aggregation                    — A4/A6
+    → bucketed copy-on-write MERGE + checkpoint +
+      registry + lineage in ONE atomic manifest commit  — J2/K1/K2/C1/C2
+
+All reference concurrency machinery (channels, sorter goroutines, causality
+buckets, worker pools) collapses into shuffle partitioning: the key-hash
+shuffle of the fold IS causality (same key → same partition,
+cdc/sink/causality.go:29-142), and Spark's external sort/spill subsumes the
+unified sorter (cdc/sorter/unified/*). The driver plays the owner: barrier
+selection (cdc/owner/changefeed.go:456-501) and DDL serialization.
+
+Exactly-once: the epoch fence in the manifest commit makes re-running any
+epoch a no-op, and resume reads the checkpoint from the committed manifest —
+at-least-once delivery + idempotent apply, the reference's own formula
+(SURVEY.md §2.15).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflow_spark.lake import BUCKET_COL, LakeTable, bucket_expr
+from tiflow_spark.model import (
+    CHANGE_EVENT_SCHEMA,
+    DML_OPS,
+    KEY_COLS,
+    OP_DDL,
+    transcript_struct,
+)
+from tiflow_spark.operators.compactor import compact_changes
+from tiflow_spark.operators.watermark import resolved_barriers, watermark_cut
+from tiflow_spark.registry import SchemaRegistry
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    barrier_ts: int
+    dml_events: int
+    ddl_events: int
+    committed: bool
+
+
+@dataclass
+class RunStats:
+    epochs: list[EpochStats] = field(default_factory=list)
+
+    @property
+    def total_events(self) -> int:
+        return sum(e.dml_events + e.ddl_events for e in self.epochs)
+
+
+def schema_version_expr(registry: SchemaRegistry):
+    """Vectorized as-of version resolution (J1): the registry is tiny, so the
+    binary search (cdc/entry/schema_storage.go:767-774) compiles to a chained
+    CASE WHEN on ``commit_ts - 1`` — constant-folded per row, no join at all.
+    Falls back to the event's own schema_version when present."""
+    asof = F.lit(registry.versions[0].version)
+    for v in registry.versions[1:]:
+        asof = F.when(
+            F.col("commit_ts") - 1 >= F.lit(v.active_from_ts), F.lit(v.version)
+        ).otherwise(asof)
+    return F.coalesce(F.col("schema_version"), asof)
+
+
+def decode_events(
+    dml: DataFrame, registry: SchemaRegistry, target_version: int
+) -> DataFrame:
+    """Mounter (M1): payload JSON → typed columns, projected onto
+    ``target_version`` with field-id mapping and defaults for later-added
+    columns (cdc/entry/mounter.go:187-237, 311-349, 515-551).
+
+    One ``from_json`` branch per live schema version — all JVM-side,
+    whole-stage-codegen'd; no Python in the hot path (the reference needs a
+    32-worker decode pool for this, cdc/entry/mounter.go:107).
+    """
+    dml = dml.withColumn("_ver", schema_version_expr(registry))
+    tgt = registry.get(target_version)
+    parts = []
+    for v in registry.versions:
+        struct_v = transcript_struct(
+            [(f.fid, f.name, f.type, f.default) for f in v.fields]
+        )
+        sub = dml.filter(F.col("_ver") == v.version)
+        decoded = sub.withColumn("_p", F.from_json("payload", struct_v))
+        cols = [
+            F.col("seq"),
+            F.col("op"),
+            F.col("commit_ts"),
+            F.col("start_ts"),
+            *[F.col(k) for k in KEY_COLS],
+        ]
+        for dst_name, src_name, default in registry.projection(v.version, target_version):
+            ftype = next(f.type for f in tgt.fields if f.name == dst_name)
+            if src_name is not None:
+                cols.append(F.col(f"_p.{src_name}").alias(dst_name))
+            else:
+                cols.append(F.lit(default).cast(ftype).alias(dst_name))
+        parts.append(decoded.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class ChangefeedEngine:
+    """Replays a changefeed log into a LakeTable, epoch by epoch."""
+
+    def __init__(self, log_path: str, table: LakeTable):
+        self.log_path = log_path
+        self.table = table
+
+    # ------------------------------------------------------------ bootstrap
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        base_parquet: str,
+        registry: SchemaRegistry | None = None,
+        start_ts: int = 0,
+    ) -> None:
+        """Initial full dump → target (S5, dm/loader/loader.go:710): a CTAS.
+        checkpoint_ts = start_ts so replay begins after the snapshot."""
+        if self.table.exists():
+            return
+        registry = registry or SchemaRegistry.initial()
+        base = spark.read.parquet(base_parquet)
+        self.table.create(spark, base, registry, checkpoint_ts=start_ts)
+
+    # ------------------------------------------------------------------ run
+    def read_log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.log_path)
+
+    def run(
+        self,
+        spark: SparkSession,
+        max_epochs: int | None = None,
+        barrier_stride: int = 0,
+    ) -> RunStats:
+        """Process outstanding barriers. ``barrier_stride=0`` coalesces ALL
+        outstanding resolved-ts marks into one epoch (max throughput);
+        ``barrier_stride=1`` takes one epoch per resolved-ts mark (max
+        granularity / latency); k>1 coalesces k marks per epoch."""
+        stats = RunStats()
+        log = self.read_log(spark)
+        while True:
+            m = self.table.current_manifest()
+            if m is None:
+                raise FileNotFoundError("target not bootstrapped")
+            chk = m["checkpoint_ts"]
+            barriers = resolved_barriers(log, after_ts=chk)
+            if not barriers:
+                break
+            if barrier_stride <= 0:
+                barrier = barriers[-1]
+            else:
+                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            st = self.run_epoch(spark, log, m, barrier)
+            stats.epochs.append(st)
+            if max_epochs is not None and len(stats.epochs) >= max_epochs:
+                break
+            if barrier == barriers[-1]:
+                break
+        return stats
+
+    def run_epoch(
+        self, spark: SparkSession, log: DataFrame, manifest: dict, barrier_ts: int
+    ) -> EpochStats:
+        epoch = manifest["epoch"] + 1
+        chk = manifest["checkpoint_ts"]
+        registry = SchemaRegistry.from_json(manifest["registry"])
+
+        sliced = watermark_cut(log, low_ts=chk, high_ts=barrier_ts)
+
+        # --- DDL path (driver-side, ordered; S3/K9). The DDL stream is tiny.
+        ddl_rows = (
+            sliced.filter(F.col("op") == OP_DDL)
+            .select("commit_ts", "seq", "ddl")
+            .orderBy("commit_ts", "seq")
+            .collect()
+        )
+        for r in ddl_rows:
+            registry.apply_ddl(json.loads(r["ddl"]), r["commit_ts"])
+        target_version = registry.version_at_barrier(barrier_ts).version
+
+        # --- DML path (distributed)
+        dml = sliced.filter(F.col("op").isin(*DML_OPS))
+        decoded = decode_events(dml, registry, target_version)
+
+        payload_names = registry.get(target_version).names()
+        changes = compact_changes(decoded, KEY_COLS, payload_names)
+
+        # --- lineage: per-bucket applied counts + frontier (A4/A6) — one
+        # extra pass over the epoch slice keys only (cheap, pruned columns)
+        lineage_rows = [
+            {
+                "bucket": r["bucket"],
+                "applied_events": r["applied_events"],
+                "max_commit_ts": r["max_commit_ts"],
+            }
+            for r in (
+                dml.select(
+                    bucket_expr(list(KEY_COLS), self.table.num_buckets).alias("bucket"),
+                    "commit_ts",
+                )
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("applied_events"),
+                    F.max("commit_ts").alias("max_commit_ts"),
+                )
+                .collect()
+            )
+        ]
+        n_dml = sum(r["applied_events"] for r in lineage_rows)
+
+        committed = self.table.merge(
+            spark,
+            changes,
+            epoch=epoch,
+            checkpoint_ts=barrier_ts,
+            registry=registry,
+            lineage_rows=lineage_rows,
+        )
+        return EpochStats(
+            epoch=epoch,
+            barrier_ts=barrier_ts,
+            dml_events=int(n_dml),
+            ddl_events=len(ddl_rows),
+            committed=committed,
+        )
+
+    # ---------------------------------------------------------------- reads
+    def final_state(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark)

@@ -1,0 +1,301 @@
+"""Snapshot-isolated lake table with epoch-fenced atomic commits.
+
+An Iceberg stand-in (the sandbox image has no Iceberg jars): a directory of
+immutable parquet data files grouped into hash buckets on the table key, plus
+a JSON *manifest* per snapshot. The manifest is the single atomic commit unit
+and carries — in one commit — the data-file list, the checkpoint
+(epoch + resolved-ts), the schema registry, and per-bucket lineage. This
+mirrors DM's "checkpoint flushed transactionally with data"
+(dm/syncer/checkpoint.go:653-751 FlushPointsExcept) and TiCDC's epoch fencing
+via idempotent replay (SURVEY.md §2.13 C1/C2).
+
+Commit protocol (single-writer; a real deployment swaps in an Iceberg catalog
+CAS commit):
+  1. data files are written under ``data/<uuid>/_bucket=K/`` (never mutated);
+  2. the manifest is created at ``_manifests/m{epoch:012d}.json`` with
+     O_CREAT|O_EXCL — a replayed epoch finds the file exists and no-ops;
+  3. ``_CURRENT`` is swapped via write-temp + os.rename (atomic on POSIX).
+
+MERGE is copy-on-write at bucket granularity: only buckets containing changed
+keys are rewritten; untouched buckets keep their existing files. Bucket count
+is the scale knob — at 100 TB use thousands of buckets so an epoch touching
+1% of keys rewrites ~1% of data (Iceberg CoW MERGE with bucket-partition
+pruning behaves identically).
+
+Schema evolution is metadata-only (like Iceberg): each data file records the
+schema version it was written under; reads project every file group onto the
+current version via the field-id registry (defaults for added columns,
+renames resolved by id) — no rewrite on DDL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflow_spark.registry import SchemaRegistry
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_cols, num_buckets: int):
+    """Deterministic key→bucket hash; identical at CTAS and MERGE time so a
+    key's bucket never moves (same role as TiCDC's index-value dispatcher,
+    cdc/sink/dispatcher/partition/index_value.go:36-56)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class CommitConflict(Exception):
+    """Epoch fence violation (would-be lost update or out-of-order epoch)."""
+
+
+class LakeTable:
+    def __init__(self, path: str, key_cols=("conv_id", "turn_idx"), num_buckets: int = 16):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.num_buckets = num_buckets
+        self._manifest_dir = os.path.join(path, "_manifests")
+        self._current_ptr = os.path.join(path, "_CURRENT")
+
+    # ------------------------------------------------------------- manifests
+    def exists(self) -> bool:
+        return os.path.exists(self._current_ptr)
+
+    def current_manifest(self) -> dict | None:
+        if not self.exists():
+            return None
+        with open(self._current_ptr) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._manifest_dir, name)) as f:
+            return json.load(f)
+
+    def registry(self) -> SchemaRegistry:
+        m = self.current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"lake table {self.path} has no snapshot")
+        return SchemaRegistry.from_json(m["registry"])
+
+    def _commit(self, manifest: dict) -> bool:
+        """Atomically publish a manifest. Returns False if this epoch was
+        already committed (idempotent replay — C2 epoch fence)."""
+        epoch = manifest["epoch"]
+        cur = self.current_manifest()
+        if cur is not None:
+            if cur["epoch"] >= epoch:
+                return False  # already applied: replay is a no-op
+            if cur["epoch"] != epoch - 1:
+                raise CommitConflict(
+                    f"epoch gap: current={cur['epoch']}, committing={epoch}"
+                )
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        name = f"m{epoch:012d}.json"
+        mpath = os.path.join(self._manifest_dir, name)
+        payload = json.dumps(manifest, indent=1).encode()
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # orphan of a crashed commit attempt (pointer was never swapped):
+            # safe to replace under the single-writer assumption
+            os.remove(mpath)
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._current_ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._current_ptr)  # atomic pointer swap
+        return True
+
+    # ----------------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, schema_version: int) -> list[dict]:
+        """Write a bucketed snapshot fragment; return manifest file entries."""
+        commit_id = uuid.uuid4().hex
+        out = os.path.join(self.path, "data", commit_id)
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
+            .repartition(self.num_buckets, BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("error")
+            .parquet(out)
+        )
+        entries = []
+        for root, _dirs, files in os.walk(out):
+            base = os.path.basename(root)
+            if not base.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(base.split("=")[1])
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    entries.append(
+                        {"path": rel, "bucket": bucket, "schema_version": schema_version}
+                    )
+        return entries
+
+    def create(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        registry: SchemaRegistry,
+        checkpoint_ts: int = 0,
+    ) -> None:
+        """CTAS — the full-dump loader analogue (dm/loader/loader.go:710)."""
+        if self.exists():
+            raise FileExistsError(f"lake table {self.path} already exists")
+        files = self._write_data(df, registry.current.version)
+        manifest = {
+            "epoch": 0,
+            "checkpoint_ts": checkpoint_ts,
+            "schema_version": registry.current.version,
+            "registry": registry.to_json(),
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "files": files,
+            "lineage": [],
+        }
+        assert self._commit(manifest)
+
+    # ------------------------------------------------------------------ read
+    def read(self, spark: SparkSession, manifest: dict | None = None) -> DataFrame:
+        """Current snapshot projected onto the current schema version.
+
+        Files are grouped by the schema version they were written under and
+        each group is projected via the field-id registry (rename-safe,
+        defaults for later-added columns) — the Iceberg read-path semantics;
+        cdc/entry/mounter.go:515-551 default-fill analogue.
+        """
+        m = manifest or self.current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"lake table {self.path} has no snapshot")
+        registry = SchemaRegistry.from_json(m["registry"])
+        cur = registry.get(m["schema_version"])
+        by_version: dict[int, list[str]] = {}
+        for e in m["files"]:
+            by_version.setdefault(e["schema_version"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for v, paths in sorted(by_version.items()):
+            df = spark.read.parquet(*paths)
+            cols = [F.col(c) for c in self.key_cols]
+            for dst_name, src_name, default in registry.projection(v, cur.version):
+                ftype = next(f.type for f in cur.fields if f.name == dst_name)
+                if src_name is not None:
+                    cols.append(F.col(src_name).alias(dst_name))
+                else:
+                    cols.append(F.lit(default).cast(ftype).alias(dst_name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage rows (FIXTURES.md F4) from manifest history."""
+        m = self.current_manifest()
+        rows = []
+        if m:
+            for ln in m.get("lineage", []):
+                rows.append(
+                    (
+                        int(ln["epoch"]),
+                        int(ln["bucket"]),
+                        int(ln["applied_events"]),
+                        int(ln["max_commit_ts"]),
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "epoch int, partition_id int, applied_events long, max_resolved_ts long"
+        )
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        epoch: int,
+        checkpoint_ts: int,
+        registry: SchemaRegistry,
+        lineage_rows: list[dict] | None = None,
+    ) -> bool:
+        """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
+
+        ``changes`` must hold exactly one row per key: the key columns, an
+        ``op`` column ('D' = delete, anything else = upsert), and the payload
+        columns of ``registry.current``. Equivalent to Iceberg
+        ``MERGE INTO target USING changes ON key WHEN MATCHED AND op='D' THEN
+        DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND op<>'D'
+        THEN INSERT *`` (cdc/sink/mysql.go:609-706 prepared-DML analogue,
+        idempotent by construction).
+
+        Returns False when the epoch was already committed (fenced replay).
+        """
+        m = self.current_manifest()
+        if m is None:
+            raise FileNotFoundError("merge target does not exist — create() first")
+        if m["epoch"] >= epoch:
+            return False  # fence: epoch already applied, skip all work
+        cur_version = registry.current.version
+        payload_names = [f.name for f in registry.current.fields]
+
+        changes = changes.withColumn(
+            BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+        )
+        # small collect: at most num_buckets values (partition pruning)
+        affected = sorted(
+            r[0] for r in changes.select(BUCKET_COL).distinct().collect()
+        )
+        affected_set = set(affected)
+        keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
+        read_files = [e for e in m["files"] if e["bucket"] in affected_set]
+
+        upserts = changes.filter(F.col("op") != "D").select(
+            *self.key_cols, *payload_names
+        )
+        if read_files:
+            # project existing rows onto the *incoming* registry version:
+            # when this epoch carried a DDL, old files evolve at read time
+            # (defaults for added columns, renames by field id) — the
+            # metadata-only ALTER (K9/D5)
+            existing = self.read(
+                spark,
+                {
+                    **m,
+                    "files": read_files,
+                    "registry": registry.to_json(),
+                    "schema_version": cur_version,
+                },
+            )
+            # keys present in changes (upsert or delete) are replaced/removed
+            survivors = existing.join(
+                changes.select(*self.key_cols).distinct(),
+                on=self.key_cols,
+                how="left_anti",
+            )
+            new_data = survivors.unionByName(upserts)
+        else:
+            new_data = upserts
+        new_files = self._write_data(new_data, cur_version)
+
+        lineage = list(m.get("lineage", []))
+        for ln in lineage_rows or []:
+            lineage.append({"epoch": epoch, **ln})
+        manifest = {
+            "epoch": epoch,
+            "checkpoint_ts": checkpoint_ts,
+            "schema_version": cur_version,
+            "registry": registry.to_json(),
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "files": keep_files + new_files,
+            "lineage": lineage,
+        }
+        return self._commit(manifest)

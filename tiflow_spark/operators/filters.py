@@ -1,0 +1,59 @@
+"""Event filters (SURVEY.md §2.4 F1-F5) — thin declarative predicates.
+
+The reference implements these as imperative per-event rule engines
+(pkg/filter/filter.go:83-183, dm/syncer/filter.go:27-110,
+dm/syncer/expr_filter_group.go:83-203). In Spark they are Catalyst column
+predicates, so they push down to the parquet/Iceberg scan for free —
+``.explain()`` shows them in PushedFilters.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SYSTEM_SCHEMAS = ("information_schema", "mysql", "performance_schema", "sys")
+
+
+def table_filter(
+    df: DataFrame,
+    rules: list[str],
+    table_col: str = "table",
+    case_sensitive: bool = False,
+) -> DataFrame:
+    """Allow tables matching any ``schema.table`` glob rule; system schemas
+    always dropped (pkg/filter/filter.go:83-112)."""
+    col = F.col(table_col) if case_sensitive else F.lower(F.col(table_col))
+    rules = rules if case_sensitive else [r.lower() for r in rules]
+    regexes = [fnmatch.translate(r).replace("\\Z", "$") for r in rules]
+    pred: Column = F.lit(False)
+    for rx in regexes:
+        pred = pred | col.rlike(rx)
+    sys_pred = F.lit(True)
+    for s in SYSTEM_SCHEMAS:
+        sys_pred = sys_pred & ~col.startswith(s + ".")
+    return df.filter(pred & sys_pred)
+
+
+def ignore_start_ts_filter(df: DataFrame, ignore_ts: list[int]) -> DataFrame:
+    """Drop whole transactions by start_ts (pkg/filter/filter.go:72-79)."""
+    if not ignore_ts:
+        return df
+    return df.filter(~F.col("start_ts").isin(ignore_ts))
+
+
+def op_class_filter(df: DataFrame, drop_ops: list[str]) -> DataFrame:
+    """DM binlog-event-class filter: drop insert/update/delete classes
+    (dm/syncer/filter.go:27-110)."""
+    if not drop_ops:
+        return df
+    return df.filter(~F.col("op").isin(drop_ops))
+
+
+def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
+    """DM expression filter: arbitrary SQL predicate per row — rows MATCHING
+    the expression are dropped (dm/syncer/expr_filter_group.go:83-203).
+    Literally Catalyst's job: ``F.expr`` compiles it once, vectorized."""
+    return df.filter(~F.expr(sql_predicate))

@@ -1,0 +1,112 @@
+"""Sequential single-threaded apply oracle (the sync-diff analogue).
+
+Mirrors FIXTURES.md F6: apply the changefeed in canonical order
+``(commit_ts, ddl_rank, op_rank, start_ts, seq)`` onto the base snapshot with
+a pure-Python dict, then project to the final schema version. The engine's
+distributed result must equal this byte-for-byte
+(tests/integration_tests/_utils/check_sync_diff:13 analogue).
+
+Rows are stored keyed by field_id so RENAME COLUMN keeps identity and
+ADD COLUMN defaults fill at projection time (cdc/entry/mounter.go:515-551).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tiflow_spark.registry import SchemaRegistry
+
+_OP_RANK = {"D": 0, "I": 1, "U": 1}
+
+
+def _event_sort_key(ev: dict):
+    is_ddl = 1 if ev["op"] == "DDL" else 0
+    return (
+        ev["commit_ts"],
+        is_ddl,
+        _OP_RANK.get(ev["op"], 1),
+        ev["start_ts"] if ev["start_ts"] is not None else -1,
+        ev["seq"],
+    )
+
+
+def _parse_ts(v):
+    if v is None or isinstance(v, datetime):
+        return v
+    return datetime.fromisoformat(v)
+
+
+def sequential_apply(
+    base_parquet: str,
+    log_dir_or_file: str,
+    registry: SchemaRegistry | None = None,
+    barrier_ts: int | None = None,
+) -> pd.DataFrame:
+    """Replay the log onto the base snapshot; return the final table.
+
+    barrier_ts: only apply events with commit_ts <= barrier_ts (epoch cut,
+    cdc/sink/common/common.go:104-153 analogue). DDLs beyond the barrier do
+    not affect the final projection either.
+    """
+    registry = registry or SchemaRegistry.initial()
+    v1 = registry.versions[0]
+
+    base = pq.read_table(base_parquet).to_pylist()
+    state: dict[tuple, dict] = {}
+    name_to_fid_v1 = {f.name: f.fid for f in v1.fields}
+    for row in base:
+        key = (row["conv_id"], row["turn_idx"])
+        state[key] = {
+            name_to_fid_v1[c]: row[c] for c in row if c in name_to_fid_v1
+        }
+
+    events = pq.read_table(log_dir_or_file).to_pylist()
+    events.sort(key=_event_sort_key)
+
+    for ev in events:
+        op = ev["op"]
+        cts = ev["commit_ts"]
+        if barrier_ts is not None and cts > barrier_ts:
+            continue
+        if op == "R":
+            continue
+        if op == "DDL":
+            registry.apply_ddl(json.loads(ev["ddl"]), cts)
+            continue
+        key = (ev["conv_id"], ev["turn_idx"])
+        if op == "D":
+            state.pop(key, None)
+            continue
+        # I/U → full-row upsert (safe-mode REPLACE semantics)
+        ver = (
+            registry.get(ev["schema_version"])
+            if ev["schema_version"] is not None
+            else registry.version_asof(cts)
+        )
+        payload = json.loads(ev["payload"])
+        row = {}
+        for f in ver.fields:
+            v = payload.get(f.name)
+            if f.type == "timestamp":
+                v = _parse_ts(v)
+            row[f.fid] = v
+        state[key] = row
+
+    final = (
+        registry.version_at_barrier(barrier_ts)
+        if barrier_ts is not None
+        else registry.current
+    )
+    out_rows = []
+    for (conv_id, turn_idx), row in state.items():
+        out = {"conv_id": conv_id, "turn_idx": turn_idx}
+        for f in final.fields:
+            out[f.name] = row.get(f.fid, f.default)
+        out_rows.append(out)
+    cols = ["conv_id", "turn_idx"] + [f.name for f in final.fields]
+    df = pd.DataFrame(out_rows, columns=cols)
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -1,0 +1,198 @@
+"""Versioned schema registry with field-id-based evolution.
+
+The reference keeps a sorted list of immutable schema snapshots and resolves
+each event against the snapshot at ``commit_ts - 1``
+(cdc/entry/schema_storage.go:754-798 ``GetSnapshot``;
+cdc/entry/mounter.go:201-203). DM persists a ``table_info JSON`` per
+checkpoint (dm/syncer/checkpoint.go:971-981) and replays DDL through a schema
+tracker (dm/pkg/schema/tracker.go:85-201).
+
+Here each payload field carries a stable ``field_id`` (the Iceberg idea),
+so RENAME COLUMN keeps identity and old rows can be projected onto any later
+version with defaults filled for columns added since
+(cdc/entry/mounter.go:515-551 fillDefault analogue).
+
+The registry is tiny (one row per DDL); it is always broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from tiflow_spark.model import TRANSCRIPT_V1_FIELDS
+
+
+@dataclass(frozen=True)
+class Field:
+    fid: int
+    name: str
+    type: str  # spark DDL type string, e.g. "string", "timestamp", "int"
+    default: object = None
+
+
+@dataclass(frozen=True)
+class SchemaVersion:
+    version: int
+    active_from_ts: int  # the DDL's commit_ts; 0 for the initial version
+    fields: tuple[Field, ...]
+    ddl: str | None = None  # JSON of the DDL that produced this version
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def struct_ddl(self) -> str:
+        return ", ".join(f"`{f.name}` {f.type}" for f in self.fields)
+
+
+@dataclass
+class SchemaRegistry:
+    """Sorted list of schema versions; supports as-of lookup and DDL apply.
+
+    As-of rule (cdc/entry/mounter.go:203): an event with commit_ts T decodes
+    with the max version whose ``active_from_ts <= T - 1`` — i.e. a DML
+    sharing a DDL's commit_ts still uses the pre-DDL schema.
+    """
+
+    versions: list[SchemaVersion] = field(default_factory=list)
+
+    # ---- construction ----
+    @classmethod
+    def initial(cls, fields=None) -> "SchemaRegistry":
+        fields = fields or TRANSCRIPT_V1_FIELDS
+        v1 = SchemaVersion(
+            version=1,
+            active_from_ts=0,
+            fields=tuple(Field(fid, n, t, d) for fid, n, t, d in fields),
+        )
+        return cls(versions=[v1])
+
+    # ---- lookup ----
+    @property
+    def current(self) -> SchemaVersion:
+        return self.versions[-1]
+
+    def get(self, version: int) -> SchemaVersion:
+        for v in self.versions:
+            if v.version == version:
+                return v
+        raise KeyError(f"schema version {version} not in registry")
+
+    def version_asof(self, commit_ts: int) -> SchemaVersion:
+        """Binary-search analogue of schema_storage.go:767-774 at ts-1."""
+        best = self.versions[0]
+        for v in self.versions:
+            if v.active_from_ts <= commit_ts - 1:
+                best = v
+            else:
+                break
+        return best
+
+    def version_at_barrier(self, barrier_ts: int) -> SchemaVersion:
+        """Latest version whose DDL committed at or before the barrier."""
+        best = self.versions[0]
+        for v in self.versions:
+            if v.active_from_ts <= barrier_ts:
+                best = v
+        return best
+
+    # ---- DDL replay (schema_storage.go:812-837 HandleDDLJob analogue) ----
+    def apply_ddl(self, ddl: dict, commit_ts: int) -> SchemaVersion:
+        """Apply one DDL dict {action, name, type?, default?, new_name?}.
+
+        Replicable subset per FIXTURES.md F2 / pkg/filter/filter.go:152-180:
+        add_column, drop_column, rename_column.
+        """
+        cur = self.current
+        if commit_ts < cur.active_from_ts:
+            raise ValueError(
+                f"DDL at ts {commit_ts} older than current version "
+                f"({cur.active_from_ts}) — DDL stream must be ordered"
+            )
+        action = ddl["action"]
+        fields = list(cur.fields)
+        if action == "add_column":
+            if any(f.name == ddl["name"] for f in fields):
+                raise ValueError(f"add_column: {ddl['name']} already exists")
+            next_fid = max(f.fid for f in fields) + 1
+            fields.append(
+                Field(next_fid, ddl["name"], ddl.get("type", "string"), ddl.get("default"))
+            )
+        elif action == "drop_column":
+            before = len(fields)
+            fields = [f for f in fields if f.name != ddl["name"]]
+            if len(fields) == before:
+                raise ValueError(f"drop_column: {ddl['name']} not found")
+        elif action == "rename_column":
+            out = []
+            found = False
+            for f in fields:
+                if f.name == ddl["name"]:
+                    out.append(Field(f.fid, ddl["new_name"], f.type, f.default))
+                    found = True
+                else:
+                    out.append(f)
+            if not found:
+                raise ValueError(f"rename_column: {ddl['name']} not found")
+            fields = out
+        else:
+            raise ValueError(f"unsupported DDL action: {action}")
+        nv = SchemaVersion(
+            version=cur.version + 1,
+            active_from_ts=commit_ts,
+            fields=tuple(fields),
+            ddl=json.dumps(ddl, sort_keys=True),
+        )
+        self.versions.append(nv)
+        return nv
+
+    # ---- projection maps ----
+    def projection(self, src_version: int, dst_version: int) -> list[tuple[str, str | None, object]]:
+        """For each dst field: (dst_name, src_name or None, default).
+
+        src_name is the field's name in src_version if the field existed
+        there (matched by field_id — survives renames); None means the field
+        was added after src_version and the default applies.
+        """
+        src = self.get(src_version)
+        dst = self.get(dst_version)
+        src_by_fid = {f.fid: f for f in src.fields}
+        out = []
+        for f in dst.fields:
+            s = src_by_fid.get(f.fid)
+            out.append((f.name, s.name if s else None, f.default))
+        return out
+
+    # ---- (de)serialization ----
+    def to_json(self) -> str:
+        return json.dumps(
+            [
+                {
+                    "version": v.version,
+                    "active_from_ts": v.active_from_ts,
+                    "ddl": v.ddl,
+                    "fields": [
+                        {"fid": f.fid, "name": f.name, "type": f.type, "default": f.default}
+                        for f in v.fields
+                    ],
+                }
+                for v in self.versions
+            ]
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "SchemaRegistry":
+        raw = json.loads(s)
+        versions = [
+            SchemaVersion(
+                version=v["version"],
+                active_from_ts=v["active_from_ts"],
+                ddl=v.get("ddl"),
+                fields=tuple(
+                    Field(f["fid"], f["name"], f["type"], f.get("default"))
+                    for f in v["fields"]
+                ),
+            )
+            for v in raw
+        ]
+        return cls(versions=versions)
