@@ -1,0 +1,129 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+- catalog queries from __spark_entry__.queries() run at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) — per-query wall seconds;
+- the CDC engine itself: a seed-fixed synthetic changefeed sized to the sf
+  (bootstrap CTAS + full single-epoch replay + LWW MERGE commit), reported
+  as `cdc_replay` seconds plus `cdc_replay_events_per_sec`.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_QUERIES (csv subset), BENCH_CDC_EVENTS (override event count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_lww_replay",
+    "cdc_canonical_order",
+    "cdc_update_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "mm_binary_meta",
+]
+
+# sf → synthetic changefeed size (events) for the engine replay leg
+CDC_EVENTS_BY_SF = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.generator import generate_changefeed
+    from tiflow_spark.lake import LakeTable
+
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", CDC_EVENTS_BY_SF.get(sf, 200_000)))
+    n_convs = max(n_events // 50, 100)
+    work = f"/tmp/tiflow_bench_sf{sf}_{n_events}"
+    feed_dir = os.path.join(work, "feed")
+    if not os.path.exists(os.path.join(feed_dir, "log")):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(feed_dir, exist_ok=True)
+        generate_changefeed(
+            feed_dir,
+            n_convs=n_convs,
+            turns_per_conv=10,
+            n_changes=n_events,
+            seed=42,
+            resolved_every=max(n_events // 10, 1000),
+            hot_key_frac=0.05,
+            n_files=max(cpus, 8),
+            ddl_plan=[(0.5, {"action": "add_column", "name": "note", "type": "string", "default": ""})],
+        )
+    target = os.path.join(work, "target")
+    shutil.rmtree(target, ignore_errors=True)
+    table = LakeTable(target, num_buckets=max(cpus, 16))
+    engine = ChangefeedEngine(os.path.join(feed_dir, "log"), table)
+
+    t0 = time.time()
+    engine.bootstrap(spark, os.path.join(feed_dir, "base", "transcripts.parquet"))
+    stats = engine.run(spark)  # single coalesced epoch = max throughput
+    elapsed = time.time() - t0
+    total = stats.total_events
+    return elapsed, {
+        "cdc_replay_events": total,
+        "cdc_replay_events_per_sec": round(total / elapsed, 1),
+        "cdc_replay_epochs": len(stats.epochs),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else HEADLINE
+
+    from tiflow_spark.queries import QUERIES
+    from tiflow_spark.session import get_spark
+
+    spark = get_spark(app="tiflow_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    cdc_sec, cdc_extra = bench_cdc_replay(spark, sf, cpus)
+    timings["cdc_replay"] = round(cdc_sec, 3)
+    print(f"# cdc_replay: {cdc_sec:.1f}s ({cdc_extra})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total wall sec: headline queries + synthetic changefeed replay (LWW MERGE, exactly-once commit)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        **cdc_extra,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

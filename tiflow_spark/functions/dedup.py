@@ -1,0 +1,222 @@
+"""Deduplication operators over the documents/embeddings corpus.
+
+Five strategies, each with a distinct scale profile:
+
+- exact:        one hash-groupBy shuffle on md5(text); map-side combine.
+- ngram-jaccard: candidate generation by shared-shingle self-join (blocked),
+                 exact Jaccard on the candidates only.
+- minhash-LSH:  k seeded MinHashes → b bands → candidates share a band
+                 bucket; the shuffle is on tiny band signatures, never on
+                 full shingle sets — the 100 TB path.
+- simhash:      32-bit signed-projection signature; Hamming-≤-t pairs found
+                 by pigeonhole band blocking (t<4 ⇒ some 8-bit chunk equal).
+- embedding:    cosine near-dup within coarse blocks (label/IVF cell) so the
+                 pair space is |block|² not |corpus|².
+
+All signatures are built from md5-derived hashes (functions/hashing.py) so
+every pipeline is bit-reproducible in any engine — the DuckDB oracle
+recomputes them exactly. No Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions.hashing import seeded_md5
+from tiflow_spark.functions.similarity import cosine_expr
+from tiflow_spark.functions.text import shingles_expr
+
+
+def exact_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash; keeper = min doc_id (stable
+    keep-first under any partitioning). Output one row per distinct text."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select("doc_id", F.explode(shingles_expr("text", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Candidates = pairs sharing ≥1 shingle (equi-join on shingle — the
+    blocking step; a pair sharing nothing has Jaccard 0 and is skipped
+    without ever being formed). Then |∩| via the join count and
+    |∪| = |A|+|B|−|∩|. Shuffles on shingle and on (a,b) pair keys only.
+    """
+    sh = _doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    mh_i = min over shingles of md5(i || ':' || shingle): the hex strings
+    order like their 128-bit values, so each seeded min is an independent
+    MinHash. One groupBy; k mins computed in a single aggregate pass
+    (map-side combined — a hot document folds before the shuffle)."""
+    sh = _doc_shingles(docs, n)
+    aggs = [
+        F.min(seeded_md5(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """MinHash + LSH banding: signature → b bands of k/b rows; a pair is a
+    candidate iff some band signature matches. Estimated Jaccard =
+    matching minhashes / k, exact in binary (k a power of two).
+
+    The only wide exchange is on (band_idx, band_hash) — constant-size keys
+    regardless of document length: the shuffle volume at 100 TB is
+    O(docs × bands × 16 bytes), not O(corpus text).
+    """
+    rows = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(k)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bnd"),
+    ).select("doc_id", *[f"mh{i}" for i in range(k)], "bnd.band_idx", "bnd.band_hash")
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
+                for i in range(k)
+            ],
+        )
+        .distinct()  # a pair may share several bands
+    )
+    match_count = sum(F.col(f"eq{i}") for i in range(k))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        match_count.cast("int").alias("matching_minhashes"),
+        (match_count / F.lit(float(k))).alias("est_jaccard"),
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash: 32-dimensional signed projection over token hashes.
+
+    Dimension d's projection of token t = +1 if hex digit d of md5(t) ≥ 8
+    else −1 (each hex digit contributes its top bit — an unbiased ±1 hash).
+    Signature bit d = sign of the sum over the document's distinct tokens.
+    Emitted as a 32-char '0'/'1' string plus 4 × 8-bit chunk keys for
+    pigeonhole blocking. One explode + one groupBy; integer sums only.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .withColumn("h", F.md5("tok"))
+    )
+    digit = lambda d: F.expr(f"instr('0123456789abcdef', substring(h, {d + 1}, 1)) - 1")  # noqa: E731
+    aggs = [
+        F.sum(F.when(digit(d) >= 8, 1).otherwise(-1)).alias(f"s{d}")
+        for d in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bit = lambda d: F.when(F.col(f"s{d}") >= 0, "1").otherwise("0")  # noqa: E731
+    fp = F.concat(*[bit(d) for d in range(bits)]).alias("simhash")
+    out = sums.select("doc_id", fp)
+    for c in range(bits // 8):
+        out = out.withColumn(f"chunk{c}", F.substring("simhash", c * 8 + 1, 8))
+    return out
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ t via pigeonhole blocking:
+    t < 4 differing bits cannot touch all 4 chunks, so every true pair
+    shares ≥1 exact 8-bit chunk — candidates come from 4 chunk-equality
+    joins (union), then the exact Hamming check runs per candidate."""
+    sig = simhash_signatures(docs, bits)
+    cands = None
+    for c in range(bits // 8):
+        p = (
+            sig.alias("a")
+            .join(sig.alias("b"), F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    hamming = sum(
+        (F.substring("sig_a", d + 1, 1) != F.substring("sig_b", d + 1, 1)).cast("int")
+        for d in range(bits)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = 0.98, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by ``block_col`` (a coarse
+    cluster id — here the IVF cell) so the candidate space is per-block
+    quadratic, not corpus-quadratic."""
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                      F.col("a.vec_id") < F.col("b.vec_id")])
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text analysis over the documents corpus — all JVM-side column expressions.
+
+Scale notes (100 TB): every function here is a narrow per-row projection
+(no shuffle at all) except ``langid_predictions``, which is one small
+aggregation (vocab-sized, broadcastable) plus one exploded join that Catalyst
+broadcasts; token explosion is bounded by document length and never
+materializes per-row Python objects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_expr(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (for MinHash / Jaccard).
+
+    Pure SQL transform over a token sequence — no UDF, vectorized."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality/statistics projection:
+
+    - whitespace token count + distinct-token count,
+    - type-token ratio (integerized: permille, exact in any engine),
+    - max token length, char count,
+    - BPE-ish subword estimate: ceil(chars / 4) — the standard ~4 chars/token
+      heuristic for byte-pair encoders (computed without a tokenizer model).
+    """
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.floor(
+            F.lit(1000.0) * F.size(F.array_distinct(toks)) / F.size(toks)
+        ).cast("long").alias("ttr_permille"),
+        F.expr("aggregate(transform(split(text,' '), t -> length(t)), 0, (a,x) -> greatest(a,x))")
+        .cast("int").alias("max_token_len"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est_tokens"),
+    )
+
+
+def lang_profiles(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Corpus-trained language profiles: the ``top_k`` most frequent tokens
+    per language, ranked by (count desc, token asc) for determinism.
+
+    Tiny output (langs × top_k) — always broadcast into the scorer.
+    """
+    from pyspark.sql.window import Window
+
+    tok_counts = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    return (
+        tok_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("lang", "tok")
+    )
+
+
+def langid_predictions(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """N-gram-profile language ID (Cavnar–Trenkle style, token-level):
+    score(doc, lang) = # of the doc's token occurrences present in the
+    language's top-k profile; prediction = argmax with (score desc, lang asc)
+    tiebreak. Integer scores → bit-deterministic at any parallelism.
+
+    Plan shape: explode → broadcast-join the tiny profile → two-level agg.
+    """
+    from pyspark.sql.window import Window
+
+    profiles = F.broadcast(
+        lang_profiles(docs, top_k).withColumnRenamed("lang", "cand_lang")
+    )
+    doc_toks = docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode(tokens_col("text")).alias("tok")
+    )
+    scored = (
+        doc_toks.join(profiles, "tok")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("true_lang").alias("lang"),
+            F.col("cand_lang").alias("pred_lang"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting:
+
+    - ``bag_fp``: order-insensitive content fingerprint — md5 over the sorted
+      distinct token bag (catches shuffled/duplicated-word copies);
+    - ``head_fp``: positional fingerprint of the first 8 tokens (cheap
+      prefix identity, the rolling-hash-anchor analogue);
+    - ``exact_fp``: md5 of the raw text.
+    """
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("bag_fp"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("head_fp"),
+        F.md5("text").alias("exact_fp"),
+    )

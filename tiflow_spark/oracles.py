@@ -1,0 +1,299 @@
+"""ANSI-SQL oracles (DuckDB dialect) — one per entry in queries.QUERIES.
+
+Each statement recomputes its Spark query's result bit-exactly on the same
+parquet tables (views: events, documents, embeddings, ...). Signature hashes
+are md5-derived (identical across engines); floating-point paths use
+double-precision left-to-right sums, matching Spark's zip_with/aggregate
+evaluation order, and are rounded before comparison/ranking.
+
+Long repetitive statements (minhash/simhash) are generated programmatically.
+"""
+
+from __future__ import annotations
+
+_FEED = """
+  SELECT CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         event_id AS commit_ts, event_id AS start_ts, event_id AS seq,
+         user_id, event_id, event_type, value, ts
+  FROM events
+"""
+
+_COS = (
+    "round(list_inner_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, tk,
+                 unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+          FROM toks))
+"""
+
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    rows = k // bands
+    mins = ",\n    ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_cases = "\n      ".join(
+        f"WHEN {b} THEN md5(" + " || '|' || ".join(f"mh{b*rows+r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    eqs = ",\n      ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS INTEGER) AS eq{i}" for i in range(k)
+    )
+    esum = " + ".join(f"eq{i}" for i in range(k))
+    return f"""
+WITH {_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT sig.*, b.band_idx,
+    CASE b.band_idx
+      {band_cases}
+    END AS band_hash
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band_idx)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      {eqs}
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({esum} AS INTEGER) AS matching_minhashes,
+       ({esum}) / 16.0 AS est_jaccard
+FROM cand
+"""
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 >= 8"
+        f" THEN 1 ELSE -1 END) AS s{d}"
+        for d in range(bits)
+    )
+    fp = " || ".join(
+        f"(CASE WHEN s{d} >= 0 THEN '1' ELSE '0' END)" for d in range(bits)
+    )
+    chunks = ", ".join(
+        f"substr(simhash, {c * 8 + 1}, 8) AS chunk{c}" for c in range(bits // 8)
+    )
+    chunk_or = " OR ".join(f"a.chunk{c} = b.chunk{c}" for c in range(bits // 8))
+    ham = " + ".join(
+        f"(CASE WHEN substr(sig_a, {d + 1}, 1) <> substr(sig_b, {d + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for d in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {fp} AS simhash FROM sums),
+sigc AS (SELECT doc_id, simhash, {chunks} FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM sigc a JOIN sigc b ON a.doc_id < b.doc_id AND ({chunk_or}))
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming FROM cand)
+WHERE hamming <= {max_hamming}
+"""
+
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_replay": f"""
+WITH feed AS ({_FEED}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY commit_ts DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END DESC,
+             start_ts DESC, seq DESC) AS rn
+  FROM feed)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+    "cdc_canonical_order": f"""
+WITH feed AS ({_FEED})
+SELECT rn, event_id, op FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY ts, CASE WHEN op = 'D' THEN 0 ELSE 1 END, seq) AS BIGINT) AS rn,
+         event_id, op
+  FROM feed)
+WHERE rn <= 500
+""",
+    "cdc_update_split": f"""
+WITH feed AS ({_FEED})
+SELECT op, 0 AS split_pos, user_id, event_id, value
+FROM feed WHERE event_type <> 'purchase'
+UNION ALL
+SELECT 'D', 0, user_id, event_id, value FROM feed WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'I', 1, user_id + 1000000, event_id, value
+FROM feed WHERE event_type = 'purchase'
+""",
+    "cdc_watermark_cut": f"""
+WITH feed AS ({_FEED})
+SELECT op, count(*) AS n_events, min(commit_ts) AS min_ts,
+       max(commit_ts) AS max_ts
+FROM feed WHERE commit_ts > 2000 AND commit_ts <= 8000
+GROUP BY op
+""",
+    "cdc_partition_frontier": f"""
+WITH feed AS ({_FEED}),
+per_part AS (
+  SELECT CAST(user_id % 32 AS INTEGER) AS "partition",
+         max(commit_ts) AS max_ts, count(*) AS applied_events
+  FROM feed GROUP BY 1)
+SELECT "partition", max_ts, applied_events,
+       (SELECT min(max_ts) FROM per_part) AS frontier_ts
+FROM per_part
+""",
+    "cdc_filter_rules": f"""
+WITH feed AS ({_FEED})
+SELECT op, event_type, count(*) AS n
+FROM feed
+WHERE op <> 'D' AND start_ts NOT IN (1, 2, 3, 100)
+  AND NOT (event_type = 'click' AND value < 0.5)
+GROUP BY op, event_type
+""",
+    "cdc_txn_group": f"""
+WITH feed AS ({_FEED})
+SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS txn_day,
+       count(*) AS n_rows, max(commit_ts) AS max_ts,
+       sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+FROM feed GROUP BY 1, 2
+""",
+    "cdc_salted_dispatch": f"""
+WITH feed AS ({_FEED}),
+b AS (
+  SELECT ((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 32) AS bucket,
+         ((((ascii(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substr(md5(CAST(event_id AS VARCHAR)), 2, 1))) % 997)) % 4) AS salt
+  FROM feed)
+SELECT bucket, salt, count(*) AS n FROM b GROUP BY 1, 2
+""",
+    "cdc_schema_asof": """
+SELECT CASE WHEN event_id - 1 >= 7000 THEN 3
+            WHEN event_id - 1 >= 3000 THEN 2
+            ELSE 1 END AS ver,
+       count(*) AS n, min(event_id) AS min_ts, max(event_id) AS max_ts
+FROM events GROUP BY 1
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter, jaccard FROM (
+  SELECT doc_a, doc_b, n_inter,
+         round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= 0.5
+""",
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding": f"""
+SELECT vec_a, vec_b, cos FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_COS.format(a="a.embedding", b="b.embedding")} AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cos >= 0.4
+""",
+    "ann_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="q_emb", b="e.embedding")} AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", cos FROM ranked WHERE "rank" <= 10
+""",
+    "ann_ivf_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_cell
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="q_emb", b="e.embedding")} AS cos
+  FROM q JOIN embeddings e ON e.label = q.q_cell AND e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", cos FROM ranked WHERE "rank" <= 10
+""",
+    "text_stats": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+  CAST(floor(1000.0 * len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' '))) AS BIGINT) AS ttr_permille,
+  CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)),
+                      'max') AS INTEGER) AS max_token_len,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents
+""",
+    "text_langid": """
+WITH tok AS (
+  SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+counts AS (
+  SELECT lang AS cand_lang, tok, count(*) AS c FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2),
+prof AS (
+  SELECT cand_lang, tok FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cand_lang ORDER BY c DESC, tok ASC) AS rk
+    FROM counts)
+  WHERE rk <= 20),
+scored AS (
+  SELECT doc_id, true_lang, cand_lang, count(*) AS score
+  FROM tok JOIN prof USING (tok) GROUP BY 1, 2, 3),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rk
+  FROM scored)
+SELECT doc_id, true_lang AS lang, cand_lang AS pred_lang,
+       CAST(score AS BIGINT) AS score
+FROM best WHERE rk = 1
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+  md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS head_fp,
+  md5(text) AS exact_fp
+FROM documents
+""",
+    "mm_binary_meta": """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN strlen(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END
+       AS INTEGER) AS first_byte,
+  substr(sha256(text), 1, 16) AS sha16,
+  CAST(strlen(text) // 40 AS INTEGER) AS frame_count
+FROM documents
+""",
+}

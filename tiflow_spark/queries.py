@@ -1,0 +1,286 @@
+"""Driver-facing query catalog: one callable per implemented operator family.
+
+Every callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+columns/types/values are reproduced exactly by the matching ANSI SQL in
+``tiflow_spark.oracles`` (DuckDB side). The CDC operators run over the
+driver's ``events`` table reinterpreted as a changefeed (see
+``events_as_changefeed``); the corpus operators run over ``documents`` /
+``embeddings``.
+
+SURVEY.md §2 operator ids are noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tiflow_spark.functions import dedup, multimodal, similarity, text
+from tiflow_spark.functions.hashing import md5_bucket
+from tiflow_spark.operators.compactor import compact_changes, split_updates
+from tiflow_spark.operators.filters import (
+    expr_filter,
+    ignore_start_ts_filter,
+    op_class_filter,
+)
+from tiflow_spark.operators.watermark import partition_frontier, watermark_cut
+
+# ---------------------------------------------------------------- loaders
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def events_as_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reinterpret the append-only ``events`` stream as a changefeed
+    (FIXTURES.md F2 shape): signup=I, error=D, else U; the key is user_id
+    and event_id is the TSO (unique, monotone with append order)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("event_id").alias("commit_ts"),
+        F.col("event_id").alias("start_ts"),
+        F.col("event_id").alias("seq"),
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+    )
+
+
+# ------------------------------------------------------------ CDC queries
+
+
+def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A1 compactor + W2 LWW + J2 merge-shape): replay the feed,
+    one surviving row per key — exactly the MERGE input the engine emits."""
+    feed = events_as_changefeed(spark, sf_dir)
+    folded = compact_changes(
+        feed, key_cols=["user_id"], value_cols=["event_id", "event_type", "value"]
+    )
+    return folded.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def cdc_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorter stage (O1-O3): canonical (commit_ts, op_rank, seq) apply order
+    materialized as a global row_number — deletes before puts at equal ts."""
+    from tiflow_spark.model import op_rank
+
+    feed = events_as_changefeed(spark, sf_dir)
+    w = Window.orderBy(F.col("ts"), op_rank("op"), F.col("seq"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 500)
+        .select(F.col("rn").cast("long"), "event_id", "op")
+    )
+
+
+def cdc_update_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-split (M2): purchases are key-changing updates (user moves to
+    user_id+1000000) → delete(old key) + insert(new key), delete first."""
+    feed = events_as_changefeed(spark, sf_dir).select(
+        "op",
+        "seq",
+        "commit_ts",
+        "start_ts",
+        F.when(F.col("event_type") == "purchase", F.col("user_id") + 1000000)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.col("user_id").alias("pre_user_id"),
+        "event_id",
+        "value",
+        F.col("event_id").alias("pre_event_id"),
+        F.col("value").alias("pre_value"),
+    )
+    out = split_updates(
+        feed,
+        key_cols=["user_id"],
+        pre_key_cols=["pre_user_id"],
+        value_cols=["event_id", "value"],
+        pre_value_cols=["pre_event_id", "pre_value"],
+    )
+    return out.select(
+        "op", F.col("split_pos").cast("int"), "user_id", "event_id", "value"
+    )
+
+
+def cdc_watermark_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch slice (A3/S2 guard): checkpoint < commit_ts <= barrier, both
+    predicates pushed to the scan; aggregated per op for a stable shape."""
+    feed = events_as_changefeed(spark, sf_dir)
+    sliced = watermark_cut(feed, low_ts=2000, high_ts=8000)
+    return sliced.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.min("commit_ts").alias("min_ts"),
+        F.max("commit_ts").alias("max_ts"),
+    )
+
+
+def cdc_partition_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span frontier (S2) + min-watermark agg (A4) + lineage counters (A6):
+    per-partition progress and the global resolved frontier."""
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        "partition_hint", F.pmod(F.col("user_id"), F.lit(32)).cast("int")
+    )
+    return partition_frontier(feed).select(
+        "partition", "max_ts", "applied_events", "frontier_ts"
+    )
+
+
+def cdc_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter chain (F3+F4+F5): drop delete class, drop ignored txn
+    start_ts, drop rows matching an expression predicate — all Catalyst
+    predicates, pushed to the scan."""
+    feed = events_as_changefeed(spark, sf_dir)
+    feed = op_class_filter(feed, ["D"])
+    feed = ignore_start_ts_filter(feed, [1, 2, 3, 100])
+    feed = expr_filter(feed, "event_type = 'click' AND value < 0.5")
+    return feed.groupBy("op", "event_type").agg(F.count("*").alias("n"))
+
+
+def cdc_txn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txn grouping (A2): rows grouped into per-(key, day) transactions with
+    integer-exact value sums (milli-units, so any agg order is bit-equal)."""
+    feed = events_as_changefeed(spark, sf_dir)
+    return feed.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("txn_day")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.max("commit_ts").alias("max_ts"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    )
+
+
+def cdc_salted_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-hash dispatch + hot-key salting (P1-P3): bucket = hash(user_id)
+    with a salt from within the full key (event_id) spreading each user over
+    4 sub-buckets; per-bucket load histogram."""
+    feed = events_as_changefeed(spark, sf_dir)
+    bucketed = feed.select(
+        md5_bucket(F.col("user_id"), 32).alias("bucket"),
+        F.pmod(md5_bucket(F.col("event_id"), 997), F.lit(4)).alias("salt"),
+    )
+    return bucketed.groupBy("bucket", "salt").agg(F.count("*").alias("n"))
+
+
+def cdc_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of schema resolution (J1/M1): version = max registry version with
+    active_from_ts <= commit_ts - 1, compiled to a chained CASE (the binary
+    search of schema_storage.go:767-774 constant-folded per row)."""
+    from tiflow_spark.engine import schema_version_expr
+    from tiflow_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.initial()
+    reg.apply_ddl({"action": "add_column", "name": "note", "type": "string"}, 3000)
+    reg.apply_ddl({"action": "rename_column", "name": "note", "new_name": "memo"}, 7000)
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        "schema_version", F.lit(None).cast("int")
+    )
+    return (
+        feed.withColumn("ver", schema_version_expr(reg))
+        .groupBy("ver")
+        .agg(F.count("*").alias("n"), F.min("commit_ts").alias("min_ts"), F.max("commit_ts").alias("max_ts"))
+    )
+
+
+# ------------------------------------------------------- dedup / similarity
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_groups(_documents(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), k=16, bands=4, n=3)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings are near-orthogonal (max intra-label cosine
+    # ~0.5), so the "near-dup" threshold is scaled down to stay demonstrative
+    return dedup.embedding_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_documents(spark, sf_dir))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.langid_predictions(_documents(spark, sf_dir), top_k=20)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_documents(spark, sf_dir))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.binary_media(_documents(spark, sf_dir))
+    return multimodal.extract_media_meta(media)
+
+
+QUERIES = {
+    "cdc_lww_replay": cdc_lww_replay,
+    "cdc_canonical_order": cdc_canonical_order,
+    "cdc_update_split": cdc_update_split,
+    "cdc_watermark_cut": cdc_watermark_cut,
+    "cdc_partition_frontier": cdc_partition_frontier,
+    "cdc_filter_rules": cdc_filter_rules,
+    "cdc_txn_group": cdc_txn_group,
+    "cdc_salted_dispatch": cdc_salted_dispatch,
+    "cdc_schema_asof": cdc_schema_asof,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "mm_binary_meta": mm_binary_meta,
+}
