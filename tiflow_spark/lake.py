@@ -119,9 +119,10 @@ class LakeTable:
         """Write a bucketed snapshot fragment; return manifest file entries."""
         commit_id = uuid.uuid4().hex
         out = os.path.join(self.path, "data", commit_id)
+        if BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
         (
-            df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
-            .repartition(self.num_buckets, BUCKET_COL)
+            df.repartition(self.num_buckets, BUCKET_COL)
             .write.partitionBy(BUCKET_COL)
             .mode("error")
             .parquet(out)
@@ -246,9 +247,10 @@ class LakeTable:
         cur_version = registry.current.version
         payload_names = [f.name for f in registry.current.fields]
 
-        changes = changes.withColumn(
-            BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
-        )
+        if BUCKET_COL not in changes.columns:
+            changes = changes.withColumn(
+                BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+            )
         # small collect: at most num_buckets values (partition pruning)
         affected = sorted(
             r[0] for r in changes.select(BUCKET_COL).distinct().collect()
@@ -258,7 +260,7 @@ class LakeTable:
         read_files = [e for e in m["files"] if e["bucket"] in affected_set]
 
         upserts = changes.filter(F.col("op") != "D").select(
-            *self.key_cols, *payload_names
+            *self.key_cols, *payload_names, BUCKET_COL
         )
         if read_files:
             # project existing rows onto the *incoming* registry version:
@@ -274,12 +276,13 @@ class LakeTable:
                     "schema_version": cur_version,
                 },
             )
-            # keys present in changes (upsert or delete) are replaced/removed
+            # keys present in changes (upsert or delete) are replaced/removed;
+            # changes is one-row-per-key by contract → no distinct needed
             survivors = existing.join(
-                changes.select(*self.key_cols).distinct(),
+                changes.select(*self.key_cols),
                 on=self.key_cols,
                 how="left_anti",
-            )
+            ).withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
             new_data = survivors.unionByName(upserts)
         else:
             new_data = upserts

@@ -47,24 +47,39 @@ def _order_struct(value_cols: list[str]):
     )
 
 
-def lww_fold(dml: DataFrame, key_cols, value_cols) -> DataFrame:
+def lww_fold(dml: DataFrame, key_cols, value_cols, stats: bool = False) -> DataFrame:
     """One row per key: the last event in canonical order.
 
-    Output columns: key_cols + op + value_cols.
+    Output columns: key_cols + op + value_cols; with ``stats=True`` also
+    ``_n_events`` (chain length) and ``_max_commit_ts`` per key, computed in
+    the SAME aggregate pass — lineage comes for free with the fold, no second
+    scan of the epoch slice (A6 without A6's extra pass).
     """
     key_cols = list(key_cols)
     value_cols = list(value_cols)
-    last = F.max(_order_struct(value_cols)).alias("_last")
-    folded = dml.groupBy(*key_cols).agg(last)
-    return folded.select(
+    aggs = [F.max(_order_struct(value_cols)).alias("_last")]
+    if stats:
+        aggs += [
+            F.count("*").alias("_n_events"),
+            F.max("commit_ts").alias("_max_commit_ts"),
+        ]
+    folded = dml.groupBy(*key_cols).agg(*aggs)
+    out_cols = [
         *key_cols,
         F.col("_last.op").alias("op"),
         *[F.col(f"_last.{c}").alias(c) for c in value_cols],
-    )
+    ]
+    if stats:
+        out_cols += [F.col("_n_events"), F.col("_max_commit_ts")]
+    return folded.select(*out_cols)
 
 
 def compact_changes(
-    dml: DataFrame, key_cols, value_cols, strict_inserts: bool = False
+    dml: DataFrame,
+    key_cols,
+    value_cols,
+    strict_inserts: bool = False,
+    stats: bool = False,
 ) -> DataFrame:
     """LWW fold implementing the compactor matrix
     (dm/syncer/compactor.go:152-161): the emitted op is the last op of the
@@ -81,7 +96,7 @@ def compact_changes(
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     if not strict_inserts:
-        return lww_fold(dml, key_cols, value_cols)
+        return lww_fold(dml, key_cols, value_cols, stats=stats)
     first_op_struct = F.struct(
         F.col("commit_ts").alias("_o1"),
         op_rank("op").alias("_o2"),

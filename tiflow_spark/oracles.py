@@ -70,19 +70,24 @@ FROM cand
 """
 
 
-def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_sql(bits: int = 64, max_hamming: int = 3, n_chunks: int = 4) -> str:
+    width = bits // n_chunks
+
+    def digit(d: int) -> str:
+        src, pos = ("h1", d) if d < 32 else ("h2", d - 32)
+        return f"strpos('0123456789abcdef', substr({src}, {pos + 1}, 1)) - 1"
+
     sums = ",\n    ".join(
-        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 >= 8"
-        f" THEN 1 ELSE -1 END) AS s{d}"
+        f"sum(CASE WHEN {digit(d)} >= 8 THEN 1 ELSE -1 END) AS s{d}"
         for d in range(bits)
     )
     fp = " || ".join(
         f"(CASE WHEN s{d} >= 0 THEN '1' ELSE '0' END)" for d in range(bits)
     )
     chunks = ", ".join(
-        f"substr(simhash, {c * 8 + 1}, 8) AS chunk{c}" for c in range(bits // 8)
+        f"substr(simhash, {c * width + 1}, {width}) AS chunk{c}" for c in range(n_chunks)
     )
-    chunk_or = " OR ".join(f"a.chunk{c} = b.chunk{c}" for c in range(bits // 8))
+    chunk_or = " OR ".join(f"a.chunk{c} = b.chunk{c}" for c in range(n_chunks))
     ham = " + ".join(
         f"(CASE WHEN substr(sig_a, {d + 1}, 1) <> substr(sig_b, {d + 1}, 1)"
         f" THEN 1 ELSE 0 END)"
@@ -90,9 +95,8 @@ def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h1, md5('x:' || tok) AS h2 FROM toks),
 sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
 sig AS (SELECT doc_id, {fp} AS simhash FROM sums),
 sigc AS (SELECT doc_id, simhash, {chunks} FROM sig),
