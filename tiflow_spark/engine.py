@@ -228,11 +228,19 @@ class ChangefeedEngine:
     def run_epoch(
         self, spark: SparkSession, log: DataFrame, manifest: dict, barrier_ts: int
     ) -> EpochStats:
-        epoch = manifest["epoch"] + 1
         chk = manifest["checkpoint_ts"]
-        registry = SchemaRegistry.from_json(manifest["registry"])
-
         sliced = watermark_cut(log, low_ts=chk, high_ts=barrier_ts)
+        return self.apply_slice(spark, sliced, manifest, barrier_ts)
+
+    def apply_slice(
+        self, spark: SparkSession, sliced: DataFrame, manifest: dict, barrier_ts: int
+    ) -> EpochStats:
+        """Apply one epoch's worth of events (already cut to
+        ``checkpoint < commit_ts <= barrier``) as a single fenced commit.
+        Shared by the batch replay loop and the Structured Streaming
+        ``foreachBatch`` front-end (micro-batch == epoch)."""
+        epoch = manifest["epoch"] + 1
+        registry = SchemaRegistry.from_json(manifest["registry"])
 
         # --- DDL path (driver-side, ordered; S3/K9). The DDL stream is tiny.
         ddl_rows = (
