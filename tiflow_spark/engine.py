@@ -39,10 +39,11 @@ from tiflow_spark.model import (
     DML_OPS,
     KEY_COLS,
     OP_DDL,
+    OP_RESOLVED,
     transcript_struct,
 )
 from tiflow_spark.operators.compactor import compact_changes
-from tiflow_spark.operators.watermark import resolved_barriers, watermark_cut
+from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
 
 
@@ -210,14 +211,30 @@ class ChangefeedEngine:
             if m is None:
                 raise FileNotFoundError("target not bootstrapped")
             chk = m["checkpoint_ts"]
-            barriers = resolved_barriers(log, after_ts=chk)
+            # ONE control-plane job per loop: R barriers + DDL rows together
+            # (both streams are tiny; the owner's barrier bookkeeping and the
+            # DDL puller share a scan, cdc/owner/ddl_puller.go wiring)
+            control = (
+                log.filter(
+                    F.col("op").isin(OP_RESOLVED, OP_DDL)
+                    & (F.col("commit_ts") > chk)
+                )
+                .select("op", "commit_ts", "seq", "ddl")
+                .orderBy("commit_ts", "seq")
+                .collect()
+            )
+            barriers = sorted({r["commit_ts"] for r in control if r["op"] == OP_RESOLVED})
             if not barriers:
                 break
             if barrier_stride <= 0:
                 barrier = barriers[-1]
             else:
                 barrier = barriers[min(barrier_stride, len(barriers)) - 1]
-            st = self.run_epoch(spark, log, m, barrier)
+            ddl_rows = [
+                r for r in control
+                if r["op"] == OP_DDL and r["commit_ts"] <= barrier
+            ]
+            st = self.run_epoch(spark, log, m, barrier, ddl_rows=ddl_rows)
             stats.epochs.append(st)
             if max_epochs is not None and len(stats.epochs) >= max_epochs:
                 break
@@ -226,29 +243,44 @@ class ChangefeedEngine:
         return stats
 
     def run_epoch(
-        self, spark: SparkSession, log: DataFrame, manifest: dict, barrier_ts: int
+        self,
+        spark: SparkSession,
+        log: DataFrame,
+        manifest: dict,
+        barrier_ts: int,
+        ddl_rows: list | None = None,
     ) -> EpochStats:
         chk = manifest["checkpoint_ts"]
         sliced = watermark_cut(log, low_ts=chk, high_ts=barrier_ts)
-        return self.apply_slice(spark, sliced, manifest, barrier_ts)
+        return self.apply_slice(spark, sliced, manifest, barrier_ts, ddl_rows=ddl_rows)
 
     def apply_slice(
-        self, spark: SparkSession, sliced: DataFrame, manifest: dict, barrier_ts: int
+        self,
+        spark: SparkSession,
+        sliced: DataFrame,
+        manifest: dict,
+        barrier_ts: int,
+        ddl_rows: list | None = None,
     ) -> EpochStats:
         """Apply one epoch's worth of events (already cut to
         ``checkpoint < commit_ts <= barrier``) as a single fenced commit.
         Shared by the batch replay loop and the Structured Streaming
-        ``foreachBatch`` front-end (micro-batch == epoch)."""
+        ``foreachBatch`` front-end (micro-batch == epoch).
+
+        ``ddl_rows``: pre-collected DDL events for the slice (rows with
+        op/commit_ts/seq/ddl); None → collected here with an extra job.
+        """
         epoch = manifest["epoch"] + 1
         registry = SchemaRegistry.from_json(manifest["registry"])
 
         # --- DDL path (driver-side, ordered; S3/K9). The DDL stream is tiny.
-        ddl_rows = (
-            sliced.filter(F.col("op") == OP_DDL)
-            .select("commit_ts", "seq", "ddl")
-            .orderBy("commit_ts", "seq")
-            .collect()
-        )
+        if ddl_rows is None:
+            ddl_rows = (
+                sliced.filter(F.col("op") == OP_DDL)
+                .select("commit_ts", "seq", "ddl")
+                .orderBy("commit_ts", "seq")
+                .collect()
+            )
         for r in ddl_rows:
             registry.apply_ddl(json.loads(r["ddl"]), r["commit_ts"])
         target_version = registry.version_at_barrier(barrier_ts).version
@@ -307,6 +339,9 @@ class ChangefeedEngine:
             checkpoint_ts=barrier_ts,
             registry=registry,
             lineage_rows=lineage_rows,
+            # the lineage buckets ARE the affected-bucket set — saves the
+            # merge its own distinct-collect job over the folded set
+            affected_buckets=[r["bucket"] for r in lineage_rows],
         )
         return EpochStats(
             epoch=epoch,

@@ -217,6 +217,43 @@ class LakeTable:
             rows, "epoch int, partition_id int, applied_events long, max_resolved_ts long"
         )
 
+    # -------------------------------------------------------------------- gc
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """GC safepoint management (C4, cdc/owner/changefeed.go:253-270 +
+        Iceberg ``expire_snapshots``): drop manifests older than the last
+        ``keep_last`` epochs and delete data files no surviving manifest
+        references. The current manifest is never touched, so readers and
+        the resume path (which only need the current checkpoint) are safe;
+        ``keep_last >= 2`` preserves one rollback point.
+        """
+        cur = self.current_manifest()
+        if cur is None:
+            return {"removed_manifests": 0, "removed_files": 0}
+        keep_last = max(keep_last, 1)
+        floor = cur["epoch"] - keep_last + 1
+        names = sorted(os.listdir(self._manifest_dir))
+        keep, drop = [], []
+        for name in names:
+            epoch = int(name[1:].split(".")[0])
+            (keep if epoch >= floor else drop).append(name)
+        live: set[str] = set()
+        for name in keep:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                for e in json.load(f)["files"]:
+                    live.add(e["path"])
+        removed_files = 0
+        for name in drop:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                for e in json.load(f)["files"]:
+                    p = e["path"]
+                    if p not in live:
+                        fp = os.path.join(self.path, p)
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                            removed_files += 1
+            os.remove(os.path.join(self._manifest_dir, name))
+        return {"removed_manifests": len(drop), "removed_files": removed_files}
+
     # ----------------------------------------------------------------- merge
     def merge(
         self,
@@ -226,6 +263,7 @@ class LakeTable:
         checkpoint_ts: int,
         registry: SchemaRegistry,
         lineage_rows: list[dict] | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> bool:
         """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
 
@@ -251,10 +289,15 @@ class LakeTable:
             changes = changes.withColumn(
                 BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
             )
-        # small collect: at most num_buckets values (partition pruning)
-        affected = sorted(
-            r[0] for r in changes.select(BUCKET_COL).distinct().collect()
-        )
+        # small collect: at most num_buckets values (partition pruning);
+        # callers that already know the touched buckets (the engine derives
+        # them from the lineage agg) skip this job entirely
+        if affected_buckets is not None:
+            affected = sorted(set(affected_buckets))
+        else:
+            affected = sorted(
+                r[0] for r in changes.select(BUCKET_COL).distinct().collect()
+            )
         affected_set = set(affected)
         keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
         read_files = [e for e in m["files"] if e["bucket"] in affected_set]

@@ -191,6 +191,36 @@ SELECT CASE WHEN event_id - 1 >= 7000 THEN 3
        count(*) AS n, min(event_id) AS min_ts, max(event_id) AS max_ts
 FROM events GROUP BY 1
 """,
+    "cdc_table_router": f"""
+WITH feed AS ({_FEED}),
+named AS (
+  SELECT *, (CASE WHEN event_type IN ('click', 'view') THEN 'app'
+                  WHEN event_type = 'purchase' THEN 'shop'
+                  ELSE 'sys' END) || '.' || event_type AS src_table
+  FROM feed)
+SELECT src_table, 'tgt.' || event_type AS target_table, 'cf-1' AS source_id,
+       count(*) AS n
+FROM named
+WHERE src_table LIKE 'app.%' OR src_table LIKE 'shop.%'
+GROUP BY 1, 2, 3
+""",
+    "cdc_old_value": f"""
+WITH feed AS ({_FEED})
+SELECT user_id, event_id, op, value,
+       lag(value) OVER w AS pre_value,
+       lag(event_id) OVER w AS pre_event_id
+FROM feed WHERE user_id % 10 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY commit_ts)
+""",
+    "cdc_encode_json": f"""
+WITH feed AS ({_FEED}),
+enc AS (
+  SELECT event_id,
+         to_json({{'u': user_id, 'ts': commit_ts, 'o': op, 't': event_type}})::VARCHAR
+           AS envelope
+  FROM feed)
+SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies

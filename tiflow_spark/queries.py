@@ -202,6 +202,75 @@ def cdc_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_table_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table router + extend columns (D6, F1): events carry a derived
+    ``schema.table`` name; route `app.*` tables to target schema `tgt`
+    (rename rule), drop non-matching tables (allow-rules), and inject a
+    source-id column (dm/syncer/syncer.go:2450,3183; pkg/filter glob rules).
+    """
+    from tiflow_spark.operators.filters import table_filter
+
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        "src_table",
+        F.concat(
+            F.when(F.col("event_type").isin("click", "view"), "app")
+            .when(F.col("event_type") == "purchase", "shop")
+            .otherwise("sys"),
+            F.lit("."),
+            F.col("event_type"),
+        ),
+    )
+    routed = table_filter(feed, ["app.*", "shop.*"], table_col="src_table")
+    return (
+        routed.withColumn(
+            "target_table",
+            F.concat(F.lit("tgt."), F.element_at(F.split("src_table", "\\."), 2)),
+        )
+        .withColumn("source_id", F.lit("cf-1"))
+        .groupBy("src_table", "target_table", "source_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cdc_old_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Old-value enrichment (J3): attach each event's pre-image (the previous
+    value on its key) via a per-key window lag — the TiKV OldValue column
+    (cdc/model/kv.go:77) reconstructed relationally. Limited to one bucket of
+    keys for a stable, compact result."""
+    feed = events_as_changefeed(spark, sf_dir).filter(F.pmod("user_id", F.lit(10)) == 0)
+    w = Window.partitionBy("user_id").orderBy("commit_ts")
+    return feed.select(
+        "user_id",
+        "event_id",
+        "op",
+        "value",
+        F.lag("value").over(w).alias("pre_value"),
+        F.lag("event_id").over(w).alias("pre_event_id"),
+    )
+
+
+def cdc_encode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink codec (K5, open-protocol JSON analogue): encode each change
+    event as a compact JSON envelope (key fields + typed payload), the
+    MQ-sink wire format (cdc/sink/codec/json.go). String/long fields only so
+    the encoding is byte-identical across engines."""
+    feed = events_as_changefeed(spark, sf_dir)
+    enc = feed.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("u"),
+                F.col("commit_ts").alias("ts"),
+                F.col("op").alias("o"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("envelope"),
+    )
+    return enc.select(
+        "event_id", "envelope", F.md5("envelope").alias("envelope_md5")
+    )
+
+
 # ------------------------------------------------------- dedup / similarity
 
 
@@ -272,6 +341,9 @@ QUERIES = {
     "cdc_txn_group": cdc_txn_group,
     "cdc_salted_dispatch": cdc_salted_dispatch,
     "cdc_schema_asof": cdc_schema_asof,
+    "cdc_table_router": cdc_table_router,
+    "cdc_old_value": cdc_old_value,
+    "cdc_encode_json": cdc_encode_json,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
