@@ -107,6 +107,44 @@ def langid_predictions(docs: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+PUNCT_CLASS = "[^.,!?;:]"
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality scoring (length / punctuation / stopword
+    ratios), the filter stage of a pre-training corpus pipeline.
+
+    All ratios are integerized (permille, floor) so the score is
+    bit-deterministic at any parallelism and reproducible by the oracle:
+
+    - ``punct_permille``: punctuation chars / total chars,
+    - ``stop_permille``: stopword tokens / tokens (English function-word
+      rate — near-zero signals non-text or keyword spam),
+    - ``mean_tok_len_permille``: chars per token ×1000 (degenerate short/long
+      tokens signal boilerplate or binary junk),
+    - ``keep``: the composite gate (C4-style heuristics: enough tokens,
+      token shape in the natural-language band).
+    """
+    toks = tokens_col("text")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_toks = F.size(toks)
+    punct = F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    stops = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_list}))"))
+    mean_len = F.floor(F.lit(1000.0) * F.length("text") / n_toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.floor(
+            F.lit(1000.0) * punct / F.greatest(F.length("text"), F.lit(1))
+        ).cast("long").alias("punct_permille"),
+        F.floor(F.lit(1000.0) * stops / n_toks).cast("long").alias("stop_permille"),
+        mean_len.alias("mean_tok_len_permille"),
+        ((n_toks >= 5) & (mean_len >= 2000) & (mean_len <= 12000)).alias("keep"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting:
 

@@ -57,3 +57,24 @@ def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
     the expression are dropped (dm/syncer/expr_filter_group.go:83-203).
     Literally Catalyst's job: ``F.expr`` compiles it once, vectorized."""
     return df.filter(~F.expr(sql_predicate))
+
+
+def cyclic_mark_filter(
+    df: DataFrame,
+    marks: DataFrame,
+    filter_replica_ids: list[int],
+    start_ts_col: str = "start_ts",
+) -> DataFrame:
+    """Cyclic-replication loop filter (F6, pkg/cyclic/filter.go:44-110):
+    each txn's mark-table row carries the replica that originated it; txns
+    whose origin replica is in the filtered set are dropped wholesale.
+
+    The reference scans a per-txn map; here it is a broadcast equi-join on
+    ``start_ts`` (the mark table is tiny — one row per in-flight txn) and a
+    pushed-down NOT IN predicate. Unmarked txns (no mark row) are local
+    writes and always pass, hence the left join + null-keep."""
+    marks = F.broadcast(marks.select(start_ts_col, "replica_id"))
+    joined = df.join(marks, on=start_ts_col, how="left")
+    return joined.filter(
+        F.col("replica_id").isNull() | ~F.col("replica_id").isin(filter_replica_ids)
+    )

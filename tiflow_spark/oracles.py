@@ -221,6 +221,61 @@ enc AS (
   FROM feed)
 SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
+    "cdc_cyclic_filter": f"""
+WITH feed AS ({_FEED}),
+marks AS (
+  SELECT DISTINCT start_ts, CAST(start_ts % 7 AS INTEGER) AS replica_id
+  FROM feed WHERE start_ts % 3 = 0),
+joined AS (
+  SELECT f.*, m.replica_id
+  FROM feed f LEFT JOIN marks m USING (start_ts))
+SELECT coalesce(replica_id, -1) AS origin_replica, count(*) AS n,
+       max(commit_ts) AS max_ts
+FROM joined
+WHERE replica_id IS NULL OR replica_id NOT IN (0, 3)
+GROUP BY 1
+""",
+    "cdc_validate_checksum": f"""
+WITH feed AS ({_FEED}),
+d AS (
+  SELECT ((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 16) AS bucket,
+         (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) AS digest
+  FROM (SELECT user_id,
+               md5(concat_ws('|', CAST(user_id AS VARCHAR),
+                             CAST(event_id AS VARCHAR), op, event_type)) AS h
+        FROM feed))
+SELECT bucket, count(*) AS n_rows, CAST(sum(digest) AS BIGINT) AS checksum
+FROM d GROUP BY 1
+""",
+    "cdc_encode_maxwell": f"""
+WITH feed AS ({_FEED}),
+enc AS (
+  SELECT event_id,
+         to_json({{'database': 'app', 'table': event_type,
+                  'type': CASE op WHEN 'I' THEN 'insert'
+                                  WHEN 'D' THEN 'delete'
+                                  ELSE 'update' END,
+                  'ts': commit_ts,
+                  'data': {{'user_id': user_id, 'event_id': event_id}}}})::VARCHAR
+           AS envelope
+  FROM feed)
+SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
+""",
+    "cdc_batch_reduce": f"""
+WITH feed AS ({_FEED}),
+b AS (
+  SELECT *, ((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256
+            + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 8) AS bucket
+  FROM feed),
+rn AS (
+  SELECT bucket, commit_ts,
+         row_number() OVER (PARTITION BY bucket ORDER BY commit_ts, seq) AS rn
+  FROM b)
+SELECT bucket, CAST((rn - 1) // 256 AS INTEGER) AS batch_id,
+       count(*) AS n_rows, min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+FROM rn GROUP BY 1, 2
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
@@ -319,6 +374,22 @@ SELECT doc_id,
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
   md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS head_fp,
   md5(text) AS exact_fp
+FROM documents
+""",
+    "text_quality": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(floor(1000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+             / greatest(length(text), 1)) AS BIGINT) AS punct_permille,
+  CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','an','of','to','and','in','is','it','that')))
+             / len(string_split(text, ' '))) AS BIGINT) AS stop_permille,
+  CAST(floor(1000.0 * length(text) / len(string_split(text, ' '))) AS BIGINT)
+    AS mean_tok_len_permille,
+  (len(string_split(text, ' ')) >= 5
+   AND floor(1000.0 * length(text) / len(string_split(text, ' '))) >= 2000
+   AND floor(1000.0 * length(text) / len(string_split(text, ' '))) <= 12000)
+    AS keep
 FROM documents
 """,
     "mm_binary_meta": """

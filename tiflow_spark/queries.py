@@ -271,6 +271,88 @@ def cdc_encode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_cyclic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic-replication filter (F6, pkg/cyclic/filter.go:44-110): a mark
+    table (one row per txn start_ts, carrying the origin replica) is
+    broadcast-joined onto the feed; txns originating from filtered replicas
+    are dropped to break replication loops. Marks exist only for every third
+    txn (the rest are local writes and always pass)."""
+    from tiflow_spark.operators.filters import cyclic_mark_filter
+
+    feed = events_as_changefeed(spark, sf_dir)
+    marks = (
+        feed.select("start_ts")
+        .distinct()
+        .filter(F.pmod("start_ts", F.lit(3)) == 0)
+        .withColumn("replica_id", F.pmod("start_ts", F.lit(7)).cast("int"))
+    )
+    kept = cyclic_mark_filter(feed, marks, filter_replica_ids=[0, 3])
+    return kept.groupBy(F.coalesce("replica_id", F.lit(-1)).alias("origin_replica")).agg(
+        F.count("*").alias("n"), F.max("commit_ts").alias("max_ts")
+    )
+
+
+def cdc_validate_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data validator (dm/syncer/data_validator.go:72-196): per-bucket row
+    count + order-invariant content checksum; upstream/downstream compare
+    these tiny summaries instead of shipping rows."""
+    from tiflow_spark.operators.validator import table_checksums
+
+    feed = events_as_changefeed(spark, sf_dir)
+    return table_checksums(
+        feed, key_col="user_id", content_cols=["event_id", "op", "event_type"],
+        n_buckets=16,
+    )
+
+
+def cdc_encode_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-style sink codec (K5, cdc/sink/codec/maxwell.go): the
+    database/table/type/ts envelope with a nested ``data`` payload, encoded
+    as compact JSON — same wire shape as Maxwell's Kafka messages."""
+    feed = events_as_changefeed(spark, sf_dir)
+    op_name = (
+        F.when(F.col("op") == "I", "insert")
+        .when(F.col("op") == "D", "delete")
+        .otherwise("update")
+    )
+    enc = feed.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.lit("app").alias("database"),
+                F.col("event_type").alias("table"),
+                op_name.alias("type"),
+                F.col("commit_ts").alias("ts"),
+                F.struct(
+                    F.col("user_id").alias("user_id"),
+                    F.col("event_id").alias("event_id"),
+                ).alias("data"),
+            )
+        ).alias("envelope"),
+    )
+    return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
+
+
+def cdc_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-statement reduction (A5, reduceReplace cdc/sink/mysql.go:764-797
+    + maxTxnRow=256 mysql_params.go:37): within each dispatch bucket, rows in
+    canonical order group into ≤256-row write batches; per-batch sizes and ts
+    ranges are what the sink would execute as one multi-row statement."""
+    feed = events_as_changefeed(spark, sf_dir)
+    bucketed = feed.withColumn("bucket", md5_bucket(F.col("user_id"), 8))
+    w = Window.partitionBy("bucket").orderBy("commit_ts", "seq")
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("rn") - 1) / 256).cast("int"))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("commit_ts").alias("min_ts"),
+            F.max("commit_ts").alias("max_ts"),
+        )
+    )
+
+
 # ------------------------------------------------------- dedup / similarity
 
 
@@ -323,6 +405,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_documents(spark, sf_dir))
 
 
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_documents(spark, sf_dir))
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -344,6 +430,10 @@ QUERIES = {
     "cdc_table_router": cdc_table_router,
     "cdc_old_value": cdc_old_value,
     "cdc_encode_json": cdc_encode_json,
+    "cdc_cyclic_filter": cdc_cyclic_filter,
+    "cdc_validate_checksum": cdc_validate_checksum,
+    "cdc_encode_maxwell": cdc_encode_maxwell,
+    "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -354,5 +444,6 @@ QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_quality": text_quality,
     "mm_binary_meta": mm_binary_meta,
 }
