@@ -63,6 +63,79 @@ def test_checksum_partition_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_ddl_type_filter(spark):
+    """F2: unreplicable DDL actions are dropped; DML rows always pass."""
+    from tiflow_spark.operators.filters import ddl_type_filter
+
+    rows = [
+        ("I", None),
+        ("DDL", '{"action": "add_column", "name": "x"}'),
+        ("DDL", '{"action": "create_view", "name": "v"}'),  # not replicable
+        ("U", None),
+    ]
+    df = spark.createDataFrame(rows, "op string, ddl string")
+    kept = ddl_type_filter(df).collect()
+    assert len(kept) == 3
+    assert all(
+        r.op != "DDL" or "add_column" in r.ddl for r in kept
+    )
+
+
+def test_ineligible_ddl_rejected():
+    """F7 guard: DDL may not introduce payload fields shadowing key or
+    envelope columns (would make the table ineligible for replication)."""
+    import pytest
+
+    from tiflow_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.initial()
+    with pytest.raises(ValueError, match="ineligible"):
+        reg.apply_ddl({"action": "add_column", "name": "conv_id"}, 100)
+    with pytest.raises(ValueError, match="ineligible"):
+        reg.apply_ddl({"action": "add_column", "name": "commit_ts"}, 100)
+    reg.apply_ddl({"action": "add_column", "name": "note"}, 100)
+    with pytest.raises(ValueError, match="ineligible"):
+        reg.apply_ddl(
+            {"action": "rename_column", "name": "note", "new_name": "turn_idx"}, 200
+        )
+    # legal rename still works after the rejected attempts
+    v = reg.apply_ddl(
+        {"action": "rename_column", "name": "note", "new_name": "memo"}, 300
+    )
+    assert "memo" in v.names() and len(reg.versions) == 3
+
+
+def test_unreplicable_ddl_skipped_in_replay(spark, tmp_path):
+    """F2 end-to-end: a non-replicable DDL in the log is skipped by both the
+    engine and the oracle; replay continues and a later replicable DDL still
+    lands."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.helpers import assert_tables_equal, ev, pl, write_feed
+
+    base = [("c1", 0, "user", "hello", None, "2024-01-01T00:00:00")]
+    events = [
+        ev(0, "U", 101, "c1", 0, pl("hello v2")),
+        ev(1, "DDL", 102, ddl={"action": "create_index", "name": "ix"}),
+        ev(2, "DDL", 103, ddl={"action": "add_column", "name": "note",
+                               "type": "string", "default": "d"}),
+        ev(3, "U", 104, "c1", 0, pl("hello v3", note="n"), ver=None),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, base)
+    table = LakeTable(str(tmp_path / "target"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp, start_ts=0)
+    stats = eng.run(spark)
+    assert stats.epochs[-1].ddl_events == 1  # only the add_column counted
+    got = eng.final_state(spark).toPandas()
+    assert_tables_equal(got, sequential_apply(base_fp, log_dir))
+    assert "note" in got.columns and got["note"].tolist() == ["n"]
+
+
 def test_quality_scores_gate(spark):
     docs = spark.createDataFrame(
         [

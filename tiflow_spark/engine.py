@@ -43,6 +43,7 @@ from tiflow_spark.model import (
     transcript_struct,
 )
 from tiflow_spark.operators.compactor import compact_changes
+from tiflow_spark.operators.filters import REPLICABLE_DDL_ACTIONS
 from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
 
@@ -281,8 +282,13 @@ class ChangefeedEngine:
                 .orderBy("commit_ts", "seq")
                 .collect()
             )
+        applied_ddls = 0
         for r in ddl_rows:
-            registry.apply_ddl(json.loads(r["ddl"]), r["commit_ts"])
+            d = json.loads(r["ddl"])
+            if d.get("action") not in REPLICABLE_DDL_ACTIONS:
+                continue  # F2: unreplicable DDL types are skipped, not fatal
+            registry.apply_ddl(d, r["commit_ts"])
+            applied_ddls += 1
         target_version = registry.version_at_barrier(barrier_ts).version
 
         # --- DML path (distributed). ONE scan of the epoch slice, and the
@@ -347,7 +353,7 @@ class ChangefeedEngine:
             epoch=epoch,
             barrier_ts=barrier_ts,
             dml_events=int(n_dml),
-            ddl_events=len(ddl_rows),
+            ddl_events=applied_ddls,
             committed=committed,
         )
 

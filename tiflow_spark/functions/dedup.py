@@ -84,13 +84,21 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
 
     mh_i = min over shingles of md5(i || ':' || shingle): the hex strings
     order like their 128-bit values, so each seeded min is an independent
-    MinHash. One groupBy; k mins computed in a single aggregate pass
-    (map-side combined — a hot document folds before the shuffle)."""
-    sh = _doc_shingles(docs, n)
-    aggs = [
-        F.min(seeded_md5(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)
+    MinHash. Computed as a pure projection — ``array_min ∘ transform`` over
+    the in-row shingle array (duplicate shingles cannot change a min, so no
+    distinct is needed) — ZERO shuffles before LSH banding; the plan's first
+    exchange is the constant-size band-key join."""
+    sh = docs.select("doc_id", shingles_expr("text", n).alias("sh"))
+
+    def hasher(seed: int):
+        # NB: a 2-arg lambda would make F.transform pass the element INDEX
+        # as the second argument — the seed must be closed over, not defaulted
+        return lambda s: seeded_md5(s, seed)
+
+    cols = [
+        F.array_min(F.transform("sh", hasher(i))).alias(f"mh{i}") for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -162,22 +170,42 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     sums only (bit-deterministic at any parallelism).
     """
     bits = SIMHASH_BITS
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("h1", F.md5("tok"))
-        .withColumn("h2", F.md5(F.concat(F.lit("x:"), F.col("tok"))))
+    # 8-hex-char slices of each hash parsed once into 32-bit ints; per-bit
+    # work is then a codegen'd shift+mask (the instr/substring formulation
+    # costs ~128 string scans per token — this is the same bits ~10x cheaper)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("tok"), j * 8 + 1, 8), 16, 10)
+            .cast("long").alias(f"c{j}")
+            for j in range(4)
+        ],
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("x:"), F.col("tok"))), j * 8 + 1, 8),
+                16, 10,
+            ).cast("long").alias(f"c{j + 4}")
+            for j in range(4)
+        ],
     )
 
-    def digit(d: int):
-        src, pos = ("h1", d) if d < 32 else ("h2", d - 32)
-        return F.expr(f"instr('0123456789abcdef', substring({src}, {pos + 1}, 1)) - 1")
+    def top_bit(d: int):
+        # hex digit d of the concatenated (h1 || h2) digest: slice j holds
+        # digits 8j..8j+7, most-significant first; the digit's high bit
+        # (digit >= 8) sits at bit 4*(7 - pos) + 3 of the parsed slice
+        j, pos = d // 8, d % 8
+        return F.shiftright(F.col(f"c{j}"), 4 * (7 - pos) + 3).bitwiseAND(F.lit(1))
 
-    aggs = [
-        F.sum(F.when(digit(d) >= 8, 1).otherwise(-1)).alias(f"s{d}")
-        for d in range(bits)
+    aggs = [F.count("*").alias("n_toks")] + [
+        F.sum(top_bit(d)).alias(f"p{d}") for d in range(bits)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
-    bit = lambda d: F.when(F.col(f"s{d}") >= 0, "1").otherwise("0")  # noqa: E731
+    # sign of sum(±1) = sign of 2*popcount - n
+    bit = lambda d: F.when(  # noqa: E731
+        2 * F.col(f"p{d}") - F.col("n_toks") >= 0, "1"
+    ).otherwise("0")
     fp = F.concat(*[bit(d) for d in range(bits)]).alias("simhash")
     out = sums.select("doc_id", fp)
     width = bits // SIMHASH_CHUNKS
@@ -193,21 +221,33 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     joins (union), then the exact Hamming check runs per candidate."""
     bits = SIMHASH_BITS
     sig = simhash_signatures(docs)
-    cands = None
-    for c in range(SIMHASH_CHUNKS):
-        p = (
-            sig.alias("a")
-            .join(sig.alias("b"), F.col(f"a.chunk{c}") == F.col(f"b.chunk{c}"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sig_a"),
-                F.col("b.simhash").alias("sig_b"),
-            )
+    # one banded self-join on (chunk_idx, chunk_value) — the same plan shape
+    # as MinHash-LSH banding: a single constant-key-size exchange instead of
+    # 4 chunk-joins unioned (which costs 4 joins and re-shuffles per branch)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"), F.col(f"chunk{c}").alias("chunk_val")
+                )
+                for c in range(SIMHASH_CHUNKS)
+            ])
+        ).alias("bnd"),
+    ).select("doc_id", "simhash", "bnd.chunk_idx", "bnd.chunk_val")
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
+        .distinct()  # a pair may share several chunks
+    )
     hamming = sum(
         (F.substring("sig_a", d + 1, 1) != F.substring("sig_b", d + 1, 1)).cast("int")
         for d in range(bits)

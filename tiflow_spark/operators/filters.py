@@ -59,6 +59,23 @@ def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
     return df.filter(~F.expr(sql_predicate))
 
 
+REPLICABLE_DDL_ACTIONS = ("add_column", "drop_column", "rename_column")
+
+
+def ddl_type_filter(
+    df: DataFrame,
+    allowed_actions: tuple[str, ...] = REPLICABLE_DDL_ACTIONS,
+) -> DataFrame:
+    """DDL-type filter (F2, pkg/filter/filter.go:115-183): only DDLs whose
+    action is in the replicable allowlist pass; all non-DDL rows pass
+    untouched. The action lives in the ``ddl`` JSON payload —
+    ``get_json_object`` is JVM-side and the predicate stays in codegen."""
+    action = F.get_json_object("ddl", "$.action")
+    return df.filter(
+        (F.col("op") != "DDL") | action.isin(list(allowed_actions))
+    )
+
+
 def cyclic_mark_filter(
     df: DataFrame,
     marks: DataFrame,

@@ -18,6 +18,7 @@ from datetime import datetime
 import pandas as pd
 import pyarrow.parquet as pq
 
+from tiflow_spark.operators.filters import REPLICABLE_DDL_ACTIONS
 from tiflow_spark.registry import SchemaRegistry
 
 _OP_RANK = {"D": 0, "I": 1, "U": 1}
@@ -75,7 +76,9 @@ def sequential_apply(
         if op == "R":
             continue
         if op == "DDL":
-            registry.apply_ddl(json.loads(ev["ddl"]), cts)
+            d = json.loads(ev["ddl"])
+            if d.get("action") in REPLICABLE_DDL_ACTIONS:  # F2 allowlist
+                registry.apply_ddl(d, cts)
             continue
         key = (ev["conv_id"], ev["turn_idx"])
         if op == "D":

@@ -262,6 +262,22 @@ enc AS (
   FROM feed)
 SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
+    "cdc_encode_canal": f"""
+WITH feed AS ({_FEED}),
+enc AS (
+  SELECT event_id,
+         to_json({{'database': 'app', 'table': event_type,
+                  'pkNames': ['user_id'], 'isDdl': false,
+                  'type': CASE op WHEN 'I' THEN 'INSERT'
+                                  WHEN 'D' THEN 'DELETE'
+                                  ELSE 'UPDATE' END,
+                  'es': commit_ts,
+                  'data': [{{'user_id': user_id,
+                            'value_milli': CAST(round(value * 1000) AS BIGINT)}}]}})::VARCHAR
+           AS envelope
+  FROM feed)
+SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
+""",
     "cdc_batch_reduce": f"""
 WITH feed AS ({_FEED}),
 b AS (

@@ -333,6 +333,38 @@ def cdc_encode_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
 
 
+def cdc_encode_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-flat sink codec (K5, cdc/sink/codec/canal_flat.go): the
+    flat-message envelope — UPPER-CASE type, ``pkNames`` list, ``data`` as a
+    one-element array of row objects — as compact JSON."""
+    feed = events_as_changefeed(spark, sf_dir)
+    op_name = (
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "D", "DELETE")
+        .otherwise("UPDATE")
+    )
+    enc = feed.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.lit("app").alias("database"),
+                F.col("event_type").alias("table"),
+                F.array(F.lit("user_id")).alias("pkNames"),
+                F.lit(False).alias("isDdl"),
+                op_name.alias("type"),
+                F.col("commit_ts").alias("es"),
+                F.array(
+                    F.struct(
+                        F.col("user_id").alias("user_id"),
+                        F.round(F.col("value") * 1000).cast("long").alias("value_milli"),
+                    )
+                ).alias("data"),
+            )
+        ).alias("envelope"),
+    )
+    return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
+
+
 def cdc_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-statement reduction (A5, reduceReplace cdc/sink/mysql.go:764-797
     + maxTxnRow=256 mysql_params.go:37): within each dispatch bucket, rows in
@@ -433,6 +465,7 @@ QUERIES = {
     "cdc_cyclic_filter": cdc_cyclic_filter,
     "cdc_validate_checksum": cdc_validate_checksum,
     "cdc_encode_maxwell": cdc_encode_maxwell,
+    "cdc_encode_canal": cdc_encode_canal,
     "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -20,7 +20,15 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-from tiflow_spark.model import TRANSCRIPT_V1_FIELDS
+from tiflow_spark.model import CHANGE_EVENT_SCHEMA, KEY_COLS, TRANSCRIPT_V1_FIELDS
+
+# Eligibility guard (F7, cdc/entry/schema_storage.go:346-350 +
+# cdc/model/schema_storage.go:307-321): the reference skips tables whose
+# key/index structure cannot be replicated safely. Here the key columns are
+# an envelope-level contract, so the equivalent hazard is a DDL introducing a
+# payload field that shadows a key or envelope column — decode would then
+# emit duplicate column names and the MERGE key would be ambiguous.
+RESERVED_COLS = frozenset(KEY_COLS) | {f.name for f in CHANGE_EVENT_SCHEMA.fields}
 
 
 @dataclass(frozen=True)
@@ -111,6 +119,14 @@ class SchemaRegistry:
             )
         action = ddl["action"]
         fields = list(cur.fields)
+        new_name = ddl.get("new_name") if action == "rename_column" else (
+            ddl.get("name") if action == "add_column" else None
+        )
+        if new_name is not None and new_name in RESERVED_COLS:
+            raise ValueError(
+                f"{action}: '{new_name}' shadows a key/envelope column — "
+                "table would become ineligible for replication (F7)"
+            )
         if action == "add_column":
             if any(f.name == ddl["name"] for f in fields):
                 raise ValueError(f"add_column: {ddl['name']} already exists")

@@ -48,11 +48,18 @@ for trial in range({repeats}):
 n = st.total_events
 replay = min(trials)  # min-of-N: the sandbox's shared-host I/O is noisy
 state_rows = eng.final_state(spark).count()
+# black-hole pass (K8, cdc/sink/black_hole.go): scan + count, no sink —
+# the sinkless pipeline ceiling the reference benchmarks the same way
+t0 = time.time()
+bh_events = eng.read_log(spark).where("op IN ('I','U','D')").count()
+blackhole = time.time() - t0
 spark.stop()
 print(json.dumps({{"cpus": cpus, "bootstrap_sec": round(boot, 2),
                    "replay_sec": round(replay, 2), "events": n,
                    "trials": [round(x, 2) for x in trials],
                    "events_per_sec": round(n / replay, 1),
+                   "blackhole_sec": round(blackhole, 2),
+                   "blackhole_events_per_sec": round(bh_events / blackhole, 1),
                    "state_rows": state_rows}}))
 """
 
