@@ -74,6 +74,9 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
     shutil.rmtree(target, ignore_errors=True)
     table = LakeTable(target, num_buckets=max(cpus, 16))
     engine = ChangefeedEngine(os.path.join(feed_dir, "log"), table)
+    # warm the page cache (same rationale as tools/scaling_bench.py: a
+    # cluster's scan I/O scales with executors, one box's cold disk does not)
+    engine.read_log(spark).count()
 
     t0 = time.time()
     engine.bootstrap(spark, os.path.join(feed_dir, "base", "transcripts.parquet"))

@@ -23,9 +23,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tiflow_spark.functions.hashing import seeded_md5
 from tiflow_spark.functions.similarity import cosine_expr
 from tiflow_spark.functions.text import shingles_expr
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across all cores when the source has fewer
+    splits than the cluster has slots (a small-file artifact of local tests:
+    one parquet file → one task, so a per-row-heavy projection would run on
+    one core). At corpus scale the scan's own input splits already exceed
+    the slot count and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 
 def exact_groups(docs: DataFrame) -> DataFrame:
@@ -79,26 +89,52 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne); a·h + b < 2^61 < long max
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation family
+    h_i(x) = (a_i·x + b_i) mod p — Knuth multiplicative constants, odd a."""
+    return [
+        ((2654435761 * (i + 1)) % MINHASH_P | 1, (40503 * (i + 13) + 97) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    mh_i = min over shingles of md5(i || ':' || shingle): the hex strings
-    order like their 128-bit values, so each seeded min is an independent
-    MinHash. Computed as a pure projection — ``array_min ∘ transform`` over
-    the in-row shingle array (duplicate shingles cannot change a min, so no
-    distinct is needed) — ZERO shuffles before LSH banding; the plan's first
-    exchange is the constant-size band-key join."""
-    sh = docs.select("doc_id", shingles_expr("text", n).alias("sh"))
+    Base hash: ONE md5 per shingle, folded to a 30-bit int from two
+    ascii-pairs of its hex (portable: identical in any ANSI engine with
+    md5/ascii/substr — the DuckDB oracle recomputes it bit-exactly). The k
+    permutations are then universal hashes (a·h + b) mod (2^31−1): integer
+    multiply-add instead of k md5 calls per shingle — the asymptotic cost per
+    shingle drops from k digests to one.
 
-    def hasher(seed: int):
-        # NB: a 2-arg lambda would make F.transform pass the element INDEX
-        # as the second argument — the seed must be closed over, not defaulted
-        return lambda s: seeded_md5(s, seed)
+    Computed as a pure projection — ``array_min ∘ transform`` over the
+    in-row shingle array (duplicate shingles cannot change a min, so no
+    distinct is needed) — ZERO shuffles before LSH banding; the plan's first
+    exchange is the constant-size band-key join (plus the round-robin
+    ``_spread`` only when the local source is under-split)."""
+    sh = _spread(docs).select("doc_id", shingles_expr("text", n).alias("sh"))
+
+    def h30(s):
+        # 30-bit int from hex chars 1-4 of md5: (pair1 % 2^14)·2^16 + pair2
+        h = F.md5(s)
+        p1 = F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        p2 = F.ascii(F.substring(h, 3, 1)) * 256 + F.ascii(F.substring(h, 4, 1))
+        return (F.pmod(p1, F.lit(16384)) * 65536 + p2).cast("long")
+
+    hashed = sh.select("doc_id", F.transform("sh", h30).alias("hs"))
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
 
     cols = [
-        F.array_min(F.transform("sh", hasher(i))).alias(f"mh{i}") for i in range(k)
+        F.array_min(F.transform("hs", perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
-    return sh.select("doc_id", *cols)
+    return hashed.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -173,7 +209,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     # 8-hex-char slices of each hash parsed once into 32-bit ints; per-bit
     # work is then a codegen'd shift+mask (the instr/substring formulation
     # costs ~128 string scans per token — this is the same bits ~10x cheaper)
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select(
         "doc_id",
@@ -203,15 +239,22 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
     # sign of sum(±1) = sign of 2*popcount - n
-    bit = lambda d: F.when(  # noqa: E731
-        2 * F.col(f"p{d}") - F.col("n_toks") >= 0, "1"
-    ).otherwise("0")
-    fp = F.concat(*[bit(d) for d in range(bits)]).alias("simhash")
-    out = sums.select("doc_id", fp)
+    sign = lambda d: (2 * F.col(f"p{d}") - F.col("n_toks") >= 0)  # noqa: E731
+    fp = F.concat(
+        *[F.when(sign(d), "1").otherwise("0") for d in range(bits)]
+    ).alias("simhash")
     width = bits // SIMHASH_CHUNKS
-    for c in range(SIMHASH_CHUNKS):
-        out = out.withColumn(f"chunk{c}", F.substring("simhash", c * width + 1, width))
-    return out
+    # chunks as INTs (bit 16c+j at weight 2^(15-j), matching the string's
+    # left-to-right order): join keys and hamming stay integer-side —
+    # popcount(xor) per chunk beats 64 per-char comparisons per candidate
+    chunk_cols = [
+        sum(
+            F.when(sign(c * width + j), F.lit(1 << (width - 1 - j))).otherwise(0)
+            for j in range(width)
+        ).cast("int").alias(f"chunk{c}")
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    return sums.select("doc_id", fp, *chunk_cols)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -224,9 +267,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # one banded self-join on (chunk_idx, chunk_value) — the same plan shape
     # as MinHash-LSH banding: a single constant-key-size exchange instead of
     # 4 chunk-joins unioned (which costs 4 joins and re-shuffles per branch)
+    chunk_names = [f"chunk{c}" for c in range(SIMHASH_CHUNKS)]
     banded = sig.select(
         "doc_id",
-        "simhash",
+        *chunk_names,
         F.explode(
             F.array(*[
                 F.struct(
@@ -235,27 +279,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 for c in range(SIMHASH_CHUNKS)
             ])
         ).alias("bnd"),
-    ).select("doc_id", "simhash", "bnd.chunk_idx", "bnd.chunk_val")
-    cands = (
+    ).select("doc_id", *chunk_names, "bnd.chunk_idx", "bnd.chunk_val")
+    # hamming BEFORE distinct: popcount(xor) on the int chunks is 4 integer
+    # ops per candidate, and the ≤ t filter shrinks the distinct's input from
+    # |candidates| to |true pairs|
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.chunk{c}").bitwiseXOR(F.col(f"b.chunk{c}"))
+        )
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return (
         banded.alias("a")
         .join(banded.alias("b"), ["chunk_idx", "chunk_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()  # a pair may share several chunks
-    )
-    hamming = sum(
-        (F.substring("sig_a", d + 1, 1) != F.substring("sig_b", d + 1, 1)).cast("int")
-        for d in range(bits)
-    )
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair may share several chunks
     )
 
 

@@ -37,12 +37,19 @@ _SHINGLES = """
 
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    # identical hash family as the Spark side — parameters imported from the
+    # implementation so the two can never drift
+    from tiflow_spark.functions.dedup import MINHASH_P, minhash_params
+
     rows = k // bands
     mins = ",\n    ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+        f"min(({a} * h30 + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
     )
     band_cases = "\n      ".join(
-        f"WHEN {b} THEN md5(" + " || '|' || ".join(f"mh{b*rows+r}" for r in range(rows)) + ")"
+        f"WHEN {b} THEN md5("
+        + " || '|' || ".join(f"CAST(mh{b*rows+r} AS VARCHAR)" for r in range(rows))
+        + ")"
         for b in range(bands)
     )
     eqs = ",\n      ".join(
@@ -51,7 +58,14 @@ def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     esum = " + ".join(f"eq{i}" for i in range(k))
     return f"""
 WITH {_SHINGLES},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+hs AS (
+  SELECT doc_id,
+         CAST((((ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % 16384)
+               * 65536
+               + (ascii(substr(h, 3, 1)) * 256 + ascii(substr(h, 4, 1))))
+              AS BIGINT) AS h30
+  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
 banded AS (
   SELECT sig.*, b.band_idx,
     CASE b.band_idx
