@@ -174,8 +174,12 @@ def generate_changefeed(
         + pd.Series(seq0).astype(str).radd("-s").to_numpy()
     )
     tool = TOOLS[rng.integers(0, 4, n)]
-    ev_ts = BASE_TS + pd.to_timedelta(commit_ts - 1000, unit="s")
-    ts_iso = pd.Series(ev_ts).dt.strftime("%Y-%m-%dT%H:%M:%S").to_numpy()
+    # numpy datetime64[s] renders ISO-8601 directly — ~10x cheaper than
+    # pandas strftime at 10^7+ rows
+    ts_iso = (
+        np.datetime64("2024-01-01T00:00:00")
+        + (commit_ts - 1000).astype("timedelta64[s]")
+    ).astype("datetime64[s]").astype(str)
 
     # extra columns written under evolved schema versions
     payload = np.empty(n, dtype=object)
