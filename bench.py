@@ -111,7 +111,11 @@ def main() -> None:
     from tiflow_spark.queries import QUERIES
     from tiflow_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app="tiflow_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+    # session warmup: JVM/scheduler init otherwise lands on the first query
+    spark.range(1000).groupBy(F.pmod("id", 7)).count().collect()
 
     timings: dict[str, float] = {}
     for name in names:
