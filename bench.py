@@ -79,14 +79,14 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
     ChangefeedEngine(os.path.join(feed_dir, "log"),
                      LakeTable(target, num_buckets=max(cpus, 16))
                      ).read_log(spark).count()
-    trials, boot = [], 0.0
+    trials, boots = [], []
     for _ in range(2):
         shutil.rmtree(target, ignore_errors=True)
         table = LakeTable(target, num_buckets=max(cpus, 16))
         engine = ChangefeedEngine(os.path.join(feed_dir, "log"), table)
         t0 = time.time()
         engine.bootstrap(spark, base_fp)
-        boot = time.time() - t0
+        boots.append(time.time() - t0)
         t0 = time.time()
         stats = engine.run(spark)  # single coalesced epoch = max throughput
         trials.append(time.time() - t0)
@@ -96,7 +96,10 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
         "cdc_replay_events": total,
         "cdc_replay_events_per_sec": round(total / elapsed, 1),
         "cdc_replay_epochs": len(stats.epochs),
-        "cdc_bootstrap_sec": round(boot, 3),
+        # per-trial: trial 0 is the page-cache-warm-but-codegen-cold run;
+        # headline replay = min-of-2 (protocol noted in BENCH.md)
+        "cdc_bootstrap_sec": round(min(boots), 3),
+        "cdc_bootstrap_trials": [round(x, 3) for x in boots],
         "cdc_replay_trials": [round(x, 3) for x in trials],
     }
 

@@ -113,8 +113,6 @@ def test_unreplicable_ddl_skipped_in_replay(spark, tmp_path):
     from tiflow_spark.lake import LakeTable
     from tiflow_spark.oracle import sequential_apply
 
-    import sys
-    sys.path.insert(0, "/root/repo")
     from tests.helpers import assert_tables_equal, ev, pl, write_feed
 
     base = [("c1", 0, "user", "hello", None, "2024-01-01T00:00:00")]

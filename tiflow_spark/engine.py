@@ -207,24 +207,32 @@ class ChangefeedEngine:
         granularity / latency); k>1 coalesces k marks per epoch."""
         stats = RunStats()
         log = self.read_log(spark)
+        m0 = self.table.current_manifest()
+        if m0 is None:
+            raise FileNotFoundError("target not bootstrapped")
+        # ONE control-plane job per *run*: R barriers + DDL rows above the
+        # starting checkpoint, collected once and sliced in Python per epoch
+        # (both streams are tiny; the owner's barrier bookkeeping and the
+        # DDL puller share a scan, cdc/owner/ddl_puller.go wiring)
+        control = (
+            log.filter(
+                F.col("op").isin(OP_RESOLVED, OP_DDL)
+                & (F.col("commit_ts") > m0["checkpoint_ts"])
+            )
+            .select("op", "commit_ts", "seq", "ddl")
+            .orderBy("commit_ts", "seq")
+            .collect()
+        )
         while True:
             m = self.table.current_manifest()
-            if m is None:
-                raise FileNotFoundError("target not bootstrapped")
             chk = m["checkpoint_ts"]
-            # ONE control-plane job per loop: R barriers + DDL rows together
-            # (both streams are tiny; the owner's barrier bookkeeping and the
-            # DDL puller share a scan, cdc/owner/ddl_puller.go wiring)
-            control = (
-                log.filter(
-                    F.col("op").isin(OP_RESOLVED, OP_DDL)
-                    & (F.col("commit_ts") > chk)
-                )
-                .select("op", "commit_ts", "seq", "ddl")
-                .orderBy("commit_ts", "seq")
-                .collect()
+            barriers = sorted(
+                {
+                    r["commit_ts"]
+                    for r in control
+                    if r["op"] == OP_RESOLVED and r["commit_ts"] > chk
+                }
             )
-            barriers = sorted({r["commit_ts"] for r in control if r["op"] == OP_RESOLVED})
             if not barriers:
                 break
             if barrier_stride <= 0:
@@ -233,7 +241,7 @@ class ChangefeedEngine:
                 barrier = barriers[min(barrier_stride, len(barriers)) - 1]
             ddl_rows = [
                 r for r in control
-                if r["op"] == OP_DDL and r["commit_ts"] <= barrier
+                if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
             ]
             st = self.run_epoch(spark, log, m, barrier, ddl_rows=ddl_rows)
             stats.epochs.append(st)

@@ -29,13 +29,19 @@ from tiflow_spark.functions.text import shingles_expr
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the input across all cores when the source has fewer
-    splits than the cluster has slots (a small-file artifact of local tests:
-    one parquet file → one task, so a per-row-heavy projection would run on
-    one core). At corpus scale the scan's own input splits already exceed
-    the slot count and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    input files than the cluster has slots (a small-file artifact of local
+    tests: one parquet file → one task, so a per-row-heavy projection would
+    run on one core). At corpus scale the scan's own input splits already
+    exceed the slot count and this is a no-op.
+
+    Uses ``df.inputFiles()`` (metadata-only, Connect-safe) instead of
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion plan."""
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext — skip the local fix-up
+        return df
+    files = df.inputFiles()
+    return df.repartition(n) if 0 < len(files) < n else df
 
 
 def exact_groups(docs: DataFrame) -> DataFrame:

@@ -185,7 +185,7 @@ GROUP BY op, event_type
 WITH feed AS ({_FEED})
 SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS txn_day,
        count(*) AS n_rows, max(commit_ts) AS max_ts,
-       sum(CAST(round(value * 1000) AS BIGINT)) AS value_milli
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM feed GROUP BY 1, 2
 """,
     "cdc_salted_dispatch": f"""
@@ -256,8 +256,9 @@ d AS (
          + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 16) AS bucket,
          (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) AS digest
   FROM (SELECT user_id,
-               md5(concat_ws('|', CAST(user_id AS VARCHAR),
-                             CAST(event_id AS VARCHAR), op, event_type)) AS h
+               md5(concat_ws('|', coalesce(CAST(user_id AS VARCHAR), ''),
+                             coalesce(CAST(event_id AS VARCHAR), ''),
+                             coalesce(op, ''), coalesce(event_type, ''))) AS h
         FROM feed))
 SELECT bucket, count(*) AS n_rows, CAST(sum(digest) AS BIGINT) AS checksum
 FROM d GROUP BY 1

@@ -82,15 +82,19 @@ def cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorter stage (O1-O3): canonical (commit_ts, op_rank, seq) apply order
-    materialized as a global row_number — deletes before puts at equal ts."""
+    materialized as a global row_number — deletes before puts at equal ts.
+
+    Scale shape: ``orderBy().limit(500)`` compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge — no single-partition global sort);
+    the row_number window then runs over only the ≤500 survivors."""
     from tiflow_spark.model import op_rank
 
     feed = events_as_changefeed(spark, sf_dir)
-    w = Window.orderBy(F.col("ts"), op_rank("op"), F.col("seq"))
-    return (
-        feed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 500)
-        .select(F.col("rn").cast("long"), "event_id", "op")
+    order = [F.col("ts"), op_rank("op"), F.col("seq")]
+    top = feed.select("ts", "op", "seq", "event_id").orderBy(*order).limit(500)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rn"), "event_id", "op"
     )
 
 
