@@ -21,10 +21,12 @@ EVENT_COLS = [
     ("pre_payload", pa.string()),
     ("ddl", pa.string()),
     ("partition_hint", pa.int32()),
+    ("tbl", pa.string()),
 ]
 
 
-def ev(seq, op, cts, conv=None, turn=None, payload=None, ddl=None, start_ts=None, ver=1):
+def ev(seq, op, cts, conv=None, turn=None, payload=None, ddl=None, start_ts=None,
+       ver=1, tbl=None):
     return {
         "seq": seq,
         "op": op,
@@ -37,6 +39,7 @@ def ev(seq, op, cts, conv=None, turn=None, payload=None, ddl=None, start_ts=None
         "pre_payload": None,
         "ddl": json.dumps(ddl) if isinstance(ddl, dict) else ddl,
         "partition_hint": None,
+        "tbl": tbl,
     }
 
 
@@ -46,26 +49,35 @@ def pl(text, role="user", tool=None, ts="2024-01-01T00:00:00", **extra):
     return d
 
 
-def write_feed(tmp_path, events, base_rows=None, final_resolved=True):
-    """Write base/transcripts.parquet + log/changefeed parquet; returns paths."""
-    base_rows = base_rows or []
-    base_dir = os.path.join(str(tmp_path), "base")
-    log_dir = os.path.join(str(tmp_path), "log")
-    os.makedirs(base_dir, exist_ok=True)
-    os.makedirs(log_dir, exist_ok=True)
-    bdf = pd.DataFrame(
-        base_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    bdf["turn_idx"] = bdf["turn_idx"].astype("int32") if len(bdf) else bdf["turn_idx"]
-    bdf["ts"] = pd.to_datetime(bdf["ts"])
-    base_fp = os.path.join(base_dir, "transcripts.parquet")
-    pq.write_table(
-        pa.Table.from_pandas(bdf, preserve_index=False),
-        base_fp,
-        coerce_timestamps="us",  # Spark cannot read TIMESTAMP(NANOS)
-        allow_truncated_timestamps=True,
-    )
+BASE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),  # explicit: an all-None column must not infer null-type
+        ("ts", pa.timestamp("us")),  # Spark cannot read TIMESTAMP(NANOS)
+    ]
+)
 
+
+def write_base(base_fp, base_rows):
+    """Write a base-snapshot parquet (transcript v1 schema) to ``base_fp``."""
+    os.makedirs(os.path.dirname(base_fp), exist_ok=True)
+    bdf = pd.DataFrame(
+        base_rows or [], columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    bdf["ts"] = pd.to_datetime(bdf["ts"])
+    pq.write_table(
+        pa.Table.from_pandas(bdf, schema=BASE_SCHEMA, preserve_index=False),
+        base_fp,
+    )
+    return base_fp
+
+
+def write_log(log_dir, events, final_resolved=True):
+    """Write a changefeed log parquet; appends a covering final R row."""
+    os.makedirs(log_dir, exist_ok=True)
     events = list(events)
     if final_resolved:
         max_ts = max(e["commit_ts"] for e in events)
@@ -73,6 +85,17 @@ def write_feed(tmp_path, events, base_rows=None, final_resolved=True):
     schema = pa.schema(EVENT_COLS)
     table = pa.Table.from_pylist(events, schema=schema)
     pq.write_table(table, os.path.join(log_dir, "changefeed-00000.parquet"))
+    return log_dir
+
+
+def write_feed(tmp_path, events, base_rows=None, final_resolved=True):
+    """Write base/transcripts.parquet + log/changefeed parquet; returns paths."""
+    base_fp = write_base(
+        os.path.join(str(tmp_path), "base", "transcripts.parquet"), base_rows
+    )
+    log_dir = write_log(
+        os.path.join(str(tmp_path), "log"), events, final_resolved=final_resolved
+    )
     return base_fp, log_dir
 
 

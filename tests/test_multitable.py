@@ -1,0 +1,183 @@
+"""Multi-table changefeed replication e2e (SURVEY.md §2: per-table pipelines).
+
+Reference semantics pinned here:
+- per-table everything: independent registries, checkpoints, lineage
+  (cdc/processor/processor.go:284-400, dm/syncer/checkpoint.go:611-751);
+- DM route rules: glob source → target, first match wins, unmatched dropped
+  (dm/syncer/syncer.go:2450, pkg/filter glob rules);
+- shard-merge: several source globs onto one target (dm/tests/shardddl*);
+- resolved-ts (R) rows are changefeed-global;
+- mixed-progress resume: a table that committed an epoch before a crash
+  no-ops that barrier on resume while the behind table catches up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tiflow_spark.engine import MultiTableEngine
+from tiflow_spark.lake import LakeTable
+from tiflow_spark.oracle import sequential_apply
+
+from tests.helpers import assert_tables_equal, ev, pl, write_base, write_log
+
+
+def _two_table_feed(tmp_path):
+    """Two tables with independent DDL streams + an unrouted third table."""
+    base_a = write_base(
+        os.path.join(str(tmp_path), "base_a", "t.parquet"),
+        [("a1", 0, "user", "alpha hello", None, "2024-01-01T00:00:00"),
+         ("a2", 0, "user", "alpha other", None, "2024-01-01T00:00:01")],
+    )
+    base_b = write_base(
+        os.path.join(str(tmp_path), "base_b", "t.parquet"),
+        [("b1", 0, "assistant", "beta hello", "search", "2024-01-01T00:00:02")],
+    )
+    events = [
+        ev(0, "U", 101, "a1", 0, pl("alpha v2"), tbl="app.alpha"),
+        ev(1, "I", 102, "b1", 1, pl("beta turn1"), tbl="app.beta"),
+        ev(2, "R", 103),
+        # independent DDL streams: alpha adds a column, beta renames one
+        ev(3, "DDL", 104, ddl={"action": "add_column", "name": "note",
+                               "type": "string", "default": "d"},
+           tbl="app.alpha"),
+        ev(4, "DDL", 105, ddl={"action": "rename_column", "name": "tool",
+                               "new_name": "instrument"}, tbl="app.beta"),
+        ev(5, "U", 106, "a1", 0,
+           {"role": "user", "text": "alpha v3", "tool": None,
+            "ts": "2024-01-01T00:01:00", "note": "n1"}, ver=None,
+           tbl="app.alpha"),
+        ev(6, "U", 107, "b1", 0,
+           {"role": "assistant", "text": "beta v2", "instrument": "python",
+            "ts": "2024-01-01T00:01:01"}, ver=None, tbl="app.beta"),
+        ev(7, "D", 108, "a2", 0, tbl="app.alpha"),
+        # a table no rule routes → must not land anywhere
+        ev(8, "I", 109, "zz", 0, pl("ghost"), tbl="other.gamma"),
+        ev(9, "R", 110),
+        ev(10, "I", 111, "b2", 0, pl("beta new conv"), tbl="app.beta"),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    return base_a, base_b, log_dir
+
+
+def _engine(tmp_path, log_dir):
+    return MultiTableEngine(
+        log_dir,
+        tables={
+            "alpha": LakeTable(str(tmp_path / "tgt_alpha"), num_buckets=2),
+            "beta": LakeTable(str(tmp_path / "tgt_beta"), num_buckets=2),
+        },
+        rules=[("app.alpha", "alpha"), ("app.beta", "beta")],
+    )
+
+
+def test_multi_table_replay_matches_per_table_oracle(spark, tmp_path):
+    base_a, base_b, log_dir = _two_table_feed(tmp_path)
+    eng = _engine(tmp_path, log_dir)
+    eng.bootstrap(spark, {"alpha": os.path.dirname(base_a),
+                          "beta": os.path.dirname(base_b)})
+    stats = eng.run(spark, barrier_stride=1)
+    assert len(stats["alpha"].epochs) == 3 and len(stats["beta"].epochs) == 3
+    assert all(e.committed for s in stats.values() for e in s.epochs)
+
+    got_a = eng.final_state(spark, "alpha").toPandas()
+    got_b = eng.final_state(spark, "beta").toPandas()
+    exp_a = sequential_apply(base_a, log_dir, source_tables={"app.alpha"})
+    exp_b = sequential_apply(base_b, log_dir, source_tables={"app.beta"})
+    assert_tables_equal(got_a, exp_a)
+    assert_tables_equal(got_b, exp_b)
+    # independent schema evolution landed on the right tables
+    assert "note" in got_a.columns and "instrument" in got_b.columns
+    assert "instrument" not in got_a.columns and "note" not in got_b.columns
+    # the unrouted table's row landed nowhere
+    assert "zz" not in set(got_a["conv_id"]) | set(got_b["conv_id"])
+
+
+def test_multi_table_mixed_progress_resume(spark, tmp_path):
+    """Crash between table commits within a barrier round: alpha committed,
+    beta did not → on resume alpha fences/no-ops, beta catches up; finals
+    still byte-match the per-table oracles."""
+    base_a, base_b, log_dir = _two_table_feed(tmp_path)
+    eng = _engine(tmp_path, log_dir)
+    eng.bootstrap(spark, {"alpha": os.path.dirname(base_a),
+                          "beta": os.path.dirname(base_b)})
+    # first barrier round for both tables
+    eng.run(spark, max_epochs=1, barrier_stride=1)
+    chk_after_1 = eng.checkpoint_ts()
+    # simulate crash mid-round-2: advance ONLY alpha to the second barrier
+    solo = MultiTableEngine(
+        log_dir, tables={"alpha": eng.tables["alpha"]},
+        rules=[("app.alpha", "alpha")],
+    )
+    solo.run(spark, max_epochs=1, barrier_stride=1)
+    assert eng.tables["alpha"].current_manifest()["checkpoint_ts"] > chk_after_1
+    assert eng.tables["beta"].current_manifest()["checkpoint_ts"] == chk_after_1
+
+    # resume with a FRESH engine: beta replays barrier 2, alpha skips it
+    eng2 = _engine(tmp_path, log_dir)
+    stats = eng2.run(spark, barrier_stride=1)
+    assert all(e.committed for s in stats.values() for e in s.epochs)
+    assert len(stats["beta"].epochs) == len(stats["alpha"].epochs) + 1
+    assert_tables_equal(
+        eng2.final_state(spark, "alpha").toPandas(),
+        sequential_apply(base_a, log_dir, source_tables={"app.alpha"}),
+    )
+    assert_tables_equal(
+        eng2.final_state(spark, "beta").toPandas(),
+        sequential_apply(base_b, log_dir, source_tables={"app.beta"}),
+    )
+
+
+def test_shard_merge_routing(spark, tmp_path):
+    """Two source shards route onto ONE target (DM shard-merge): rows from
+    both shards land, LWW across shards by commit_ts."""
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    events = [
+        ev(0, "U", 101, "c1", 0, pl("from shard 1"), tbl="app.users_1"),
+        ev(1, "U", 102, "c1", 0, pl("from shard 2"), tbl="app.users_2"),
+        ev(2, "I", 103, "c2", 0, pl("shard 1 insert"), tbl="app.users_1"),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"users": LakeTable(str(tmp_path / "tgt"), num_buckets=2)},
+        rules=[("app.users_*", "users")],
+    )
+    eng.bootstrap(spark, {"users": os.path.dirname(base)})
+    eng.run(spark)
+    got = eng.final_state(spark, "users").toPandas()
+    exp = sequential_apply(
+        base, log_dir, source_tables={"app.users_1", "app.users_2"}
+    )
+    assert_tables_equal(got, exp)
+    by_key = {(r.conv_id, r.turn_idx): r.text for r in got.itertuples()}
+    assert by_key[("c1", 0)] == "from shard 2"  # later shard write wins
+
+
+def test_first_match_wins_routing(spark, tmp_path):
+    """Overlapping rules: an earlier narrow rule claims its table before a
+    later catch-all — the event must land exactly once."""
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"), []
+    )
+    events = [
+        ev(0, "I", 101, "c1", 0, pl("to special"), tbl="app.special"),
+        ev(1, "I", 102, "c2", 0, pl("to rest"), tbl="app.other"),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"special": LakeTable(str(tmp_path / "tgt_s"), num_buckets=2),
+                "rest": LakeTable(str(tmp_path / "tgt_r"), num_buckets=2)},
+        rules=[("app.special", "special"), ("app.*", "rest")],
+    )
+    eng.bootstrap(spark, {"special": os.path.dirname(base),
+                          "rest": os.path.dirname(base)})
+    eng.run(spark)
+    got_s = eng.final_state(spark, "special").toPandas()
+    got_r = eng.final_state(spark, "rest").toPandas()
+    assert set(got_s["conv_id"]) == {"c1"}
+    assert set(got_r["conv_id"]) == {"c2"}

@@ -368,3 +368,176 @@ class ChangefeedEngine:
     # ---------------------------------------------------------------- reads
     def final_state(self, spark: SparkSession) -> DataFrame:
         return self.table.read(spark)
+
+
+class MultiTableEngine:
+    """Multi-table changefeed: route source tables onto per-target LakeTables.
+
+    The reference replicates per table end-to-end — per-table pipelines
+    (cdc/processor/processor.go:284-400), per-table checkpoints + table_info
+    (dm/syncer/checkpoint.go:611-751), per-table schema snapshots. Here each
+    target LakeTable carries its OWN manifest (registry + checkpoint +
+    lineage), so tables commit and resume independently; the changefeed
+    checkpoint is the min over table checkpoints (the owner's view,
+    cdc/owner/changefeed.go:125-170). Resolved-ts (R) rows are
+    changefeed-global, exactly as in TiCDC.
+
+    Routing follows DM's route rules (dm/syncer/syncer.go:2450 route +
+    pkg/filter glob allow-rules): ordered ``(source-glob, target-name)``
+    pairs; an event's source table (``tbl``, null → default_table) takes the
+    FIRST matching rule's target; unmatched tables are not replicated.
+    Several source globs may share one target — DM's shard-merge topology
+    (keys collide across shards under LWW, the documented merge semantics).
+
+    One Spark-side scan per (table, epoch): each target's slice is the shared
+    log filtered by its routing predicate — predicate + column pruning push
+    to the scan, so a 3-table changefeed costs 3 pruned scans of the same
+    files, not 3 full reads.
+    """
+
+    def __init__(
+        self,
+        log_path: str,
+        tables: dict[str, LakeTable],
+        rules: list[tuple[str, str]] | None = None,
+        default_table: str | None = None,
+    ):
+        from tiflow_spark.model import DEFAULT_TABLE
+
+        self.log_path = log_path
+        self.tables = dict(tables)
+        self.rules = list(rules) if rules is not None else [(n, n) for n in tables]
+        self.default_table = default_table or DEFAULT_TABLE
+        unknown = {tgt for _, tgt in self.rules} - set(self.tables)
+        if unknown:
+            raise ValueError(f"route rules target unknown tables: {sorted(unknown)}")
+
+    # ------------------------------------------------------------- routing
+    def route_name(self, src: str | None) -> str | None:
+        """Driver-side router: first matching rule's target, else None."""
+        import fnmatch
+
+        src = (src or self.default_table).lower()
+        for pat, tgt in self.rules:
+            if fnmatch.fnmatch(src, pat.lower()):
+                return tgt
+        return None
+
+    def _route_pred(self, target: str):
+        """Column predicate: rows whose source table routes to ``target``
+        under first-match-wins (earlier rules with other targets exclude)."""
+        import fnmatch
+
+        src = F.lower(F.coalesce(F.col("tbl"), F.lit(self.default_table)))
+        not_earlier = F.lit(True)
+        pred = F.lit(False)
+        for pat, tgt in self.rules:
+            m = src.rlike(fnmatch.translate(pat.lower()).replace("\\Z", "$"))
+            if tgt == target:
+                pred = pred | (m & not_earlier)
+            not_earlier = not_earlier & ~m
+        return pred
+
+    # ------------------------------------------------------------ lifecycle
+    def read_log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.log_path)
+
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        bases: dict[str, str],
+        registries: dict[str, SchemaRegistry] | None = None,
+        start_ts: int = 0,
+    ) -> None:
+        """Per-table full dump → target (S5): one CTAS per target table."""
+        for name, base_parquet in bases.items():
+            table = self.tables[name]
+            if table.exists():
+                continue
+            reg = (registries or {}).get(name) or SchemaRegistry.initial()
+            table.create(
+                spark, spark.read.parquet(base_parquet), reg, checkpoint_ts=start_ts
+            )
+
+    def checkpoint_ts(self) -> int:
+        """Changefeed checkpoint = min over per-table checkpoints."""
+        return min(
+            self.tables[n].current_manifest()["checkpoint_ts"] for n in self.tables
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(
+        self,
+        spark: SparkSession,
+        max_epochs: int | None = None,
+        barrier_stride: int = 0,
+    ) -> dict[str, RunStats]:
+        """Process outstanding barriers for every target table; returns
+        per-table RunStats. A table already at/ahead of a barrier (it
+        committed before a crash; others did not) skips that barrier — the
+        per-table manifest fence makes mixed-progress resume exact."""
+        log = self.read_log(spark)
+        manifests = {}
+        for name, table in self.tables.items():
+            m = table.current_manifest()
+            if m is None:
+                raise FileNotFoundError(f"table {name!r} not bootstrapped")
+            manifests[name] = m
+        chk0 = min(m["checkpoint_ts"] for m in manifests.values())
+        # one control-plane collect per run (see ChangefeedEngine.run); DDL
+        # rows carry their source table for driver-side routing
+        control = (
+            log.filter(
+                F.col("op").isin(OP_RESOLVED, OP_DDL)
+                & (F.col("commit_ts") > chk0)
+            )
+            .select("op", "commit_ts", "seq", "ddl", "tbl")
+            .orderBy("commit_ts", "seq")
+            .collect()
+        )
+        stats = {name: RunStats() for name in self.tables}
+        rounds = 0
+        while True:
+            chk = min(m["checkpoint_ts"] for m in manifests.values())
+            barriers = sorted(
+                {
+                    r["commit_ts"]
+                    for r in control
+                    if r["op"] == OP_RESOLVED and r["commit_ts"] > chk
+                }
+            )
+            if not barriers:
+                break
+            if barrier_stride <= 0:
+                barrier = barriers[-1]
+            else:
+                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            for name, table in self.tables.items():
+                m = manifests[name]
+                if m["checkpoint_ts"] >= barrier:
+                    continue  # this table already passed the barrier (resume)
+                sliced = watermark_cut(
+                    log.filter(self._route_pred(name)),
+                    low_ts=m["checkpoint_ts"],
+                    high_ts=barrier,
+                )
+                ddl_rows = [
+                    r
+                    for r in control
+                    if r["op"] == OP_DDL
+                    and m["checkpoint_ts"] < r["commit_ts"] <= barrier
+                    and self.route_name(r["tbl"]) == name
+                ]
+                sub = ChangefeedEngine(self.log_path, table)
+                st = sub.apply_slice(spark, sliced, m, barrier, ddl_rows=ddl_rows)
+                stats[name].epochs.append(st)
+                manifests[name] = table.current_manifest()
+            rounds += 1
+            if max_epochs is not None and rounds >= max_epochs:
+                break
+            if barrier == barriers[-1]:
+                break
+        return stats
+
+    def final_state(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.tables[name].read(spark)

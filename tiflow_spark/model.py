@@ -47,8 +47,16 @@ CHANGE_EVENT_SCHEMA = T.StructType(
         T.StructField("pre_payload", T.StringType(), True),
         T.StructField("ddl", T.StringType(), True),
         T.StructField("partition_hint", T.IntegerType(), True),
+        # source table of the event (cdc/model/sink.go:255 Table field; DM
+        # route-rule input). Null → the changefeed's default table, so
+        # single-table logs written before this column existed read fine
+        # (parquet schema projection fills missing columns with null).
+        T.StructField("tbl", T.StringType(), True),
     ]
 )
+
+# the implicit source-table name for events with tbl == null
+DEFAULT_TABLE = "transcripts"
 
 # --- target table key (BASELINE.json input_hint) ---
 KEY_COLS = ("conv_id", "turn_idx")

@@ -46,12 +46,18 @@ def sequential_apply(
     log_dir_or_file: str,
     registry: SchemaRegistry | None = None,
     barrier_ts: int | None = None,
+    source_tables: set[str] | None = None,
+    default_table: str = "transcripts",
 ) -> pd.DataFrame:
     """Replay the log onto the base snapshot; return the final table.
 
     barrier_ts: only apply events with commit_ts <= barrier_ts (epoch cut,
     cdc/sink/common/common.go:104-153 analogue). DDLs beyond the barrier do
     not affect the final projection either.
+
+    source_tables: multi-table logs — only apply DML/DDL whose source table
+    (``tbl`` column, null → default_table) is in the set; R rows are
+    changefeed-global and unaffected. None → apply everything.
     """
     registry = registry or SchemaRegistry.initial()
     v1 = registry.versions[0]
@@ -75,6 +81,9 @@ def sequential_apply(
             continue
         if op == "R":
             continue
+        if source_tables is not None:
+            if (ev.get("tbl") or default_table) not in source_tables:
+                continue
         if op == "DDL":
             d = json.loads(ev["ddl"])
             if d.get("action") in REPLICABLE_DDL_ACTIONS:  # F2 allowlist

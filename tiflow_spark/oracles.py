@@ -218,6 +218,22 @@ FROM named
 WHERE src_table LIKE 'app.%' OR src_table LIKE 'shop.%'
 GROUP BY 1, 2, 3
 """,
+    "cdc_multi_table": f"""
+WITH feed AS ({_FEED}),
+routed AS (
+  SELECT *, CASE WHEN event_type IN ('click', 'view') THEN 't_app'
+                 WHEN event_type = 'purchase' THEN 't_shop' END AS target_table
+  FROM feed),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY target_table, user_id
+    ORDER BY commit_ts DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END DESC,
+             start_ts DESC, seq DESC) AS rn
+  FROM routed WHERE target_table IS NOT NULL)
+SELECT target_table, user_id, event_id AS last_event_id,
+       event_type AS last_type
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
     "cdc_old_value": f"""
 WITH feed AS ({_FEED})
 SELECT user_id, event_id, op, value,

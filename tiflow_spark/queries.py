@@ -236,6 +236,41 @@ def cdc_table_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table changefeed (per-table pipelines,
+    cdc/processor/processor.go:284-400): events carry a derived source
+    table; DM route rules map ``app.* → t_app`` and ``shop.* → t_shop``
+    (``sys.*`` unrouted = dropped); each target folds LWW independently —
+    the fold key is (target_table, user_id), so one shuffle serves every
+    table's compaction at once (the Spark-side win over per-table loops)."""
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        "src_table",
+        F.concat(
+            F.when(F.col("event_type").isin("click", "view"), "app")
+            .when(F.col("event_type") == "purchase", "shop")
+            .otherwise("sys"),
+            F.lit("."),
+            F.col("event_type"),
+        ),
+    )
+    routed = feed.withColumn(
+        "target_table",
+        F.when(F.col("src_table").startswith("app."), "t_app")
+        .when(F.col("src_table").startswith("shop."), "t_shop"),
+    ).filter(F.col("target_table").isNotNull())
+    folded = compact_changes(
+        routed,
+        key_cols=["target_table", "user_id"],
+        value_cols=["event_id", "event_type"],
+    )
+    return folded.filter(F.col("op") != "D").select(
+        "target_table",
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
 def cdc_old_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Old-value enrichment (J3): attach each event's pre-image (the previous
     value on its key) via a per-key window lag — the TiKV OldValue column
@@ -464,6 +499,7 @@ QUERIES = {
     "cdc_salted_dispatch": cdc_salted_dispatch,
     "cdc_schema_asof": cdc_schema_asof,
     "cdc_table_router": cdc_table_router,
+    "cdc_multi_table": cdc_multi_table,
     "cdc_old_value": cdc_old_value,
     "cdc_encode_json": cdc_encode_json,
     "cdc_cyclic_filter": cdc_cyclic_filter,
