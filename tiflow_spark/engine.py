@@ -48,6 +48,43 @@ from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
 
 
+class ResolvedTsRegression(Exception):
+    """A DML event carries commit_ts <= an earlier resolved-ts promise.
+
+    The resolved-ts contract (cdc/model/kv.go:32): an R row at ts B
+    guarantees no later event has commit_ts <= B. A violating feed could
+    silently lose events (they fall below the committed checkpoint) or split
+    a transaction across epochs; the reference panics on the same invariant
+    (cdc/model/sink.go:527-536 Append commitTs-mismatch check)."""
+
+
+def validate_resolved_contract(spark, log: DataFrame, marks: list[tuple[int, int]]):
+    """Raise ResolvedTsRegression if any DML with seq > mark_seq has
+    commit_ts <= mark_ts for some mark (an R row, or the committed
+    checkpoint). One column-pruned scan (seq + commit_ts only — the payload
+    is never read) against a broadcast of the tiny mark list."""
+    if not marks:
+        return
+    mdf = spark.createDataFrame(marks, "r_seq long, r_ts long")
+    bad = (
+        log.filter(F.col("op").isin(*DML_OPS))
+        .select("seq", "commit_ts")
+        .join(
+            F.broadcast(mdf),
+            (F.col("seq") > F.col("r_seq")) & (F.col("commit_ts") <= F.col("r_ts")),
+            "left_semi",
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ResolvedTsRegression(
+            f"event seq={bad[0]['seq']} commit_ts={bad[0]['commit_ts']} arrived "
+            "after a resolved-ts covering it — feed violates the resolved "
+            "contract; refusing to continue (reference panics here)"
+        )
+
+
 @dataclass
 class EpochStats:
     epoch: int
@@ -200,11 +237,24 @@ class ChangefeedEngine:
         spark: SparkSession,
         max_epochs: int | None = None,
         barrier_stride: int = 0,
+        target_ts: int | None = None,
+        validate_resolved: bool = True,
     ) -> RunStats:
         """Process outstanding barriers. ``barrier_stride=0`` coalesces ALL
         outstanding resolved-ts marks into one epoch (max throughput);
         ``barrier_stride=1`` takes one epoch per resolved-ts mark (max
-        granularity / latency); k>1 coalesces k marks per epoch."""
+        granularity / latency); k>1 coalesces k marks per epoch.
+
+        ``target_ts``: finish barrier (cdc/owner/changefeed.go:456-501
+        min(ddl, sync-point, finish)): replay stops once the checkpoint
+        reaches target_ts; events beyond it are never applied. The cut at
+        target_ts itself only happens when some resolved-ts covers it
+        (completeness at target is otherwise unknown).
+
+        ``validate_resolved``: enforce the resolved-ts contract before
+        applying (see ResolvedTsRegression) — one extra column-pruned scan
+        per run.
+        """
         stats = RunStats()
         log = self.read_log(spark)
         m0 = self.table.current_manifest()
@@ -223,27 +273,43 @@ class ChangefeedEngine:
             .orderBy("commit_ts", "seq")
             .collect()
         )
+        resolved = [
+            (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
+        ]
+        if validate_resolved:
+            marks = list(resolved)
+            if m0.get("checkpoint_seq", -1) >= 0:
+                marks.append((m0["checkpoint_seq"], m0["checkpoint_ts"]))
+            validate_resolved_contract(spark, log, marks)
         while True:
             m = self.table.current_manifest()
             chk = m["checkpoint_ts"]
-            barriers = sorted(
-                {
-                    r["commit_ts"]
-                    for r in control
-                    if r["op"] == OP_RESOLVED and r["commit_ts"] > chk
-                }
-            )
+            if target_ts is not None and chk >= target_ts:
+                break
+            barriers = sorted({ts for _seq, ts in resolved if ts > chk})
+            if target_ts is not None and barriers:
+                covered = barriers[-1] >= target_ts
+                barriers = [b for b in barriers if b < target_ts]
+                if covered:
+                    barriers.append(target_ts)
             if not barriers:
                 break
             if barrier_stride <= 0:
                 barrier = barriers[-1]
             else:
                 barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            # the earliest resolved-ts promise covering this barrier: events
+            # at or below the barrier all have seq <= this (resume guard)
+            barrier_seq = min(
+                (seq for seq, ts in resolved if ts >= barrier), default=None
+            )
             ddl_rows = [
                 r for r in control
                 if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
             ]
-            st = self.run_epoch(spark, log, m, barrier, ddl_rows=ddl_rows)
+            st = self.run_epoch(
+                spark, log, m, barrier, ddl_rows=ddl_rows, barrier_seq=barrier_seq
+            )
             stats.epochs.append(st)
             if max_epochs is not None and len(stats.epochs) >= max_epochs:
                 break
@@ -258,10 +324,14 @@ class ChangefeedEngine:
         manifest: dict,
         barrier_ts: int,
         ddl_rows: list | None = None,
+        barrier_seq: int | None = None,
     ) -> EpochStats:
         chk = manifest["checkpoint_ts"]
         sliced = watermark_cut(log, low_ts=chk, high_ts=barrier_ts)
-        return self.apply_slice(spark, sliced, manifest, barrier_ts, ddl_rows=ddl_rows)
+        return self.apply_slice(
+            spark, sliced, manifest, barrier_ts, ddl_rows=ddl_rows,
+            barrier_seq=barrier_seq,
+        )
 
     def apply_slice(
         self,
@@ -270,6 +340,7 @@ class ChangefeedEngine:
         manifest: dict,
         barrier_ts: int,
         ddl_rows: list | None = None,
+        barrier_seq: int | None = None,
     ) -> EpochStats:
         """Apply one epoch's worth of events (already cut to
         ``checkpoint < commit_ts <= barrier``) as a single fenced commit.
@@ -351,6 +422,7 @@ class ChangefeedEngine:
             changes.drop("_n_events", "_max_commit_ts"),
             epoch=epoch,
             checkpoint_ts=barrier_ts,
+            checkpoint_seq=barrier_seq,
             registry=registry,
             lineage_rows=lineage_rows,
             # the lineage buckets ARE the affected-bucket set — saves the
@@ -471,6 +543,7 @@ class MultiTableEngine:
         spark: SparkSession,
         max_epochs: int | None = None,
         barrier_stride: int = 0,
+        validate_resolved: bool = True,
     ) -> dict[str, RunStats]:
         """Process outstanding barriers for every target table; returns
         per-table RunStats. A table already at/ahead of a barrier (it
@@ -495,6 +568,15 @@ class MultiTableEngine:
             .orderBy("commit_ts", "seq")
             .collect()
         )
+        resolved = [
+            (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
+        ]
+        if validate_resolved:
+            marks = list(resolved)
+            for m in manifests.values():
+                if m.get("checkpoint_seq", -1) >= 0:
+                    marks.append((m["checkpoint_seq"], m["checkpoint_ts"]))
+            validate_resolved_contract(spark, log, marks)
         stats = {name: RunStats() for name in self.tables}
         rounds = 0
         while True:
@@ -512,6 +594,9 @@ class MultiTableEngine:
                 barrier = barriers[-1]
             else:
                 barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            barrier_seq = min(
+                (seq for seq, ts in resolved if ts >= barrier), default=None
+            )
             for name, table in self.tables.items():
                 m = manifests[name]
                 if m["checkpoint_ts"] >= barrier:
@@ -529,7 +614,10 @@ class MultiTableEngine:
                     and self.route_name(r["tbl"]) == name
                 ]
                 sub = ChangefeedEngine(self.log_path, table)
-                st = sub.apply_slice(spark, sliced, m, barrier, ddl_rows=ddl_rows)
+                st = sub.apply_slice(
+                    spark, sliced, m, barrier, ddl_rows=ddl_rows,
+                    barrier_seq=barrier_seq,
+                )
                 stats[name].epochs.append(st)
                 manifests[name] = table.current_manifest()
             rounds += 1

@@ -244,11 +244,16 @@ def generate_changefeed(
     if not r_positions or r_positions[-1] != n - 1:
         r_positions.append(n - 1)
     for pos in r_positions:
+        # strict resolved-ts contract (cdc/model/kv.go:32): an R at ts B
+        # promises NO later event carries commit_ts <= B. commit_ts is
+        # monotone, so the largest valid B at stream position p is
+        # commit_ts[p+1] - 1 — one less when the next event ties.
+        r_ts = int(commit_ts[pos + 1]) - 1 if pos + 1 < n else int(commit_ts[pos])
         frames.append(
             pd.DataFrame(
                 {
                     "op": ["R"],
-                    "commit_ts": [int(commit_ts[pos])],
+                    "commit_ts": [r_ts],
                     "start_ts": [None],
                     "schema_version": [None],
                     "conv_id": [None],

@@ -147,6 +147,7 @@ class LakeTable:
         df: DataFrame,
         registry: SchemaRegistry,
         checkpoint_ts: int = 0,
+        checkpoint_seq: int = -1,
     ) -> None:
         """CTAS — the full-dump loader analogue (dm/loader/loader.go:710)."""
         if self.exists():
@@ -155,6 +156,7 @@ class LakeTable:
         manifest = {
             "epoch": 0,
             "checkpoint_ts": checkpoint_ts,
+            "checkpoint_seq": checkpoint_seq,
             "schema_version": registry.current.version,
             "registry": registry.to_json(),
             "key_cols": self.key_cols,
@@ -264,6 +266,7 @@ class LakeTable:
         registry: SchemaRegistry,
         lineage_rows: list[dict] | None = None,
         affected_buckets: list[int] | None = None,
+        checkpoint_seq: int | None = None,
     ) -> bool:
         """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
 
@@ -337,6 +340,14 @@ class LakeTable:
         manifest = {
             "epoch": epoch,
             "checkpoint_ts": checkpoint_ts,
+            # seq of the resolved-ts promise backing this checkpoint: on
+            # resume, any event with seq beyond it but commit_ts at/below the
+            # checkpoint is a resolved-contract violation (lost-event guard)
+            "checkpoint_seq": (
+                checkpoint_seq
+                if checkpoint_seq is not None
+                else m.get("checkpoint_seq", -1)
+            ),
             "schema_version": cur_version,
             "registry": registry.to_json(),
             "key_cols": self.key_cols,
