@@ -195,7 +195,9 @@ def _decode_events_multipass(
         for dst_name, src_name, default in registry.projection(v.version, target_version):
             ftype = next(f.type for f in tgt.fields if f.name == dst_name)
             if src_name is not None:
-                cols.append(F.col(f"_p.{src_name}").alias(dst_name))
+                # cast covers modify_column: old-version payloads evolve to
+                # the target type at decode time
+                cols.append(F.col(f"_p.{src_name}").cast(ftype).alias(dst_name))
             else:
                 cols.append(F.lit(default).cast(ftype).alias(dst_name))
         parts.append(decoded.select(*cols))
@@ -362,11 +364,17 @@ class ChangefeedEngine:
                 .collect()
             )
         applied_ddls = 0
+        truncate_ts = None
         for r in ddl_rows:
             d = json.loads(r["ddl"])
             if d.get("action") not in REPLICABLE_DDL_ACTIONS:
                 continue  # F2: unreplicable DDL types are skipped, not fatal
             registry.apply_ddl(d, r["commit_ts"])
+            if d["action"] == "truncate_table":
+                # only the LAST truncate matters: everything at/before it is
+                # wiped (DML at the truncate's own ts applies first per the
+                # ordering contract, then is wiped with the rest)
+                truncate_ts = r["commit_ts"]
             applied_ddls += 1
         target_version = registry.version_at_barrier(barrier_ts).version
 
@@ -383,6 +391,10 @@ class ChangefeedEngine:
         # post-shuffle projection — measured ~20× cheaper than building a
         # columnar cache of the folded set.
         dml = sliced.filter(F.col("op").isin(*DML_OPS))
+        if truncate_ts is not None:
+            # pre-truncate events cannot survive — drop them before the fold
+            # (pushdown: the predicate reaches the scan)
+            dml = dml.filter(F.col("commit_ts") > truncate_ts)
         folded = compact_changes(
             dml, KEY_COLS, ["payload", "schema_version"], stats=True
         )
@@ -428,6 +440,7 @@ class ChangefeedEngine:
             # the lineage buckets ARE the affected-bucket set — saves the
             # merge its own distinct-collect job over the folded set
             affected_buckets=[r["bucket"] for r in lineage_rows],
+            truncate=truncate_ts is not None,
         )
         return EpochStats(
             epoch=epoch,

@@ -153,10 +153,16 @@ class LakeTable:
         if self.exists():
             raise FileExistsError(f"lake table {self.path} already exists")
         files = self._write_data(df, registry.current.version)
+        key_types = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name in self.key_cols
+        }
         manifest = {
             "epoch": 0,
             "checkpoint_ts": checkpoint_ts,
             "checkpoint_seq": checkpoint_seq,
+            "key_types": [key_types[k] for k in self.key_cols],
             "schema_version": registry.current.version,
             "registry": registry.to_json(),
             "key_cols": self.key_cols,
@@ -185,6 +191,14 @@ class LakeTable:
             by_version.setdefault(e["schema_version"], []).append(
                 os.path.join(self.path, e["path"])
             )
+        if not by_version:
+            # freshly-truncated table: no data files, schema-only snapshot
+            key_types = m.get("key_types") or ["string", "int"]
+            ddl = ", ".join(
+                [f"`{k}` {t}" for k, t in zip(self.key_cols, key_types)]
+                + [f"`{f.name}` {f.type}" for f in cur.fields]
+            )
+            return spark.createDataFrame([], ddl)
         parts = []
         for v, paths in sorted(by_version.items()):
             df = spark.read.parquet(*paths)
@@ -192,7 +206,9 @@ class LakeTable:
             for dst_name, src_name, default in registry.projection(v, cur.version):
                 ftype = next(f.type for f in cur.fields if f.name == dst_name)
                 if src_name is not None:
-                    cols.append(F.col(src_name).alias(dst_name))
+                    # cast covers modify_column: files written under the old
+                    # type evolve at read time, like every other ALTER
+                    cols.append(F.col(src_name).cast(ftype).alias(dst_name))
                 else:
                     cols.append(F.lit(default).cast(ftype).alias(dst_name))
             parts.append(df.select(*cols))
@@ -267,8 +283,14 @@ class LakeTable:
         lineage_rows: list[dict] | None = None,
         affected_buckets: list[int] | None = None,
         checkpoint_seq: int | None = None,
+        truncate: bool = False,
     ) -> bool:
         """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
+
+        ``truncate=True``: the epoch carried a TRUNCATE TABLE — every
+        existing row is dropped (no bucket is kept, no survivors are read)
+        and only the post-truncate upserts land
+        (cdc/entry/schema_storage.go:619-631 tombstone analogue).
 
         ``changes`` must hold exactly one row per key: the key columns, an
         ``op`` column ('D' = delete, anything else = upsert), and the payload
@@ -302,8 +324,11 @@ class LakeTable:
                 r[0] for r in changes.select(BUCKET_COL).distinct().collect()
             )
         affected_set = set(affected)
-        keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
-        read_files = [e for e in m["files"] if e["bucket"] in affected_set]
+        if truncate:
+            keep_files, read_files = [], []  # wipe: nothing kept, nothing read
+        else:
+            keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
+            read_files = [e for e in m["files"] if e["bucket"] in affected_set]
 
         upserts = changes.filter(F.col("op") != "D").select(
             *self.key_cols, *payload_names, BUCKET_COL
@@ -351,6 +376,7 @@ class LakeTable:
             "schema_version": cur_version,
             "registry": registry.to_json(),
             "key_cols": self.key_cols,
+            "key_types": m.get("key_types"),
             "num_buckets": self.num_buckets,
             "files": keep_files + new_files,
             "lineage": lineage,

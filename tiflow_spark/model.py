@@ -96,8 +96,10 @@ def event_order_cols(df_prefix: str = "") -> list[Column]:
 
 
 def transcript_struct(fields: list[tuple[int, str, str, object]]) -> T.StructType:
-    """StructType for a payload JSON at a given registry version's fields."""
-    out = T.StructType()
-    for _fid, name, ddl, _default in fields:
-        out.add(name, ddl, True)
-    return out
+    """StructType for a payload JSON at a given registry version's fields.
+
+    Built via fromDDL so every Spark DDL type alias works ("int" as well as
+    "integer" — StructType.add only accepts the JSON type names)."""
+    return T.StructType.fromDDL(
+        ", ".join(f"`{name}` {ddl}" for _fid, name, ddl, _default in fields)
+    )

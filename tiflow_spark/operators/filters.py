@@ -59,7 +59,13 @@ def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
     return df.filter(~F.expr(sql_predicate))
 
 
-REPLICABLE_DDL_ACTIONS = ("add_column", "drop_column", "rename_column")
+REPLICABLE_DDL_ACTIONS = (
+    "add_column",
+    "drop_column",
+    "rename_column",
+    "modify_column",
+    "truncate_table",
+)
 
 
 def ddl_type_filter(

@@ -41,6 +41,29 @@ def _parse_ts(v):
     return datetime.fromisoformat(v)
 
 
+def _coerce(v, typ: str):
+    """Replicate Spark's CAST for values stored under a pre-modify_column
+    type (int→string renders the digits, bad string→int yields null)."""
+    if v is None:
+        return None
+    t = typ.lower()
+    if t in ("string", "varchar"):
+        return v if isinstance(v, str) else str(v)
+    if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return None
+    if t in ("double", "float"):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    if t == "timestamp":
+        return _parse_ts(v)
+    return v
+
+
 def sequential_apply(
     base_parquet: str,
     log_dir_or_file: str,
@@ -88,6 +111,8 @@ def sequential_apply(
             d = json.loads(ev["ddl"])
             if d.get("action") in REPLICABLE_DDL_ACTIONS:  # F2 allowlist
                 registry.apply_ddl(d, cts)
+                if d["action"] == "truncate_table":
+                    state.clear()  # tombstone: schema kept, rows wiped
             continue
         key = (ev["conv_id"], ev["turn_idx"])
         if op == "D":
@@ -117,7 +142,7 @@ def sequential_apply(
     for (conv_id, turn_idx), row in state.items():
         out = {"conv_id": conv_id, "turn_idx": turn_idx}
         for f in final.fields:
-            out[f.name] = row.get(f.fid, f.default)
+            out[f.name] = _coerce(row.get(f.fid, f.default), f.type)
         out_rows.append(out)
     cols = ["conv_id", "turn_idx"] + [f.name for f in final.fields]
     df = pd.DataFrame(out_rows, columns=cols)

@@ -151,6 +151,31 @@ class SchemaRegistry:
             if not found:
                 raise ValueError(f"rename_column: {ddl['name']} not found")
             fields = out
+        elif action == "modify_column":
+            # type change, identity (fid/name) kept — the default branch of
+            # the reference's DDL switch (cdc/entry/schema_storage.go:637-652).
+            # Old data files / old-version payloads are CAST to the new type
+            # at read/decode time (metadata-only, like every other ALTER).
+            out = []
+            found = False
+            for f in fields:
+                if f.name == ddl["name"]:
+                    out.append(
+                        Field(f.fid, f.name, ddl["type"], ddl.get("default", f.default))
+                    )
+                    found = True
+                else:
+                    out.append(f)
+            if not found:
+                raise ValueError(f"modify_column: {ddl['name']} not found")
+            fields = out
+        elif action == "truncate_table":
+            # tombstone: rows wiped at the truncate's commit_ts, schema kept
+            # (cdc/entry/schema_storage.go:619-631 drops the old table id and
+            # re-creates it empty). Recorded as a version bump with unchanged
+            # fields so the DDL history / as-of timeline stays complete; the
+            # engine wipes data when it sees the action.
+            pass
         else:
             raise ValueError(f"unsupported DDL action: {action}")
         nv = SchemaVersion(
