@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_stats",

@@ -142,3 +142,26 @@ def test_multimodal_decode_stubs_raise():
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")
+
+
+def test_connected_components_chain_and_islands(spark):
+    from tiflow_spark.functions.graph import connected_components, resolve_clusters
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, singleton 99 (only in docs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                 "doc_id long")
+    res = resolve_clusters(docs, pairs).collect()
+    rows = {r.doc_id: r for r in res}
+    assert rows[99].cluster_id == 99 and rows[99].is_keeper
+    assert rows[99].cluster_size == 1
+    assert rows[4].cluster_id == 1 and not rows[4].is_keeper
+    assert rows[1].is_keeper and rows[1].cluster_size == 4
+    # exactly one keeper per cluster
+    keepers = [r for r in res if r.is_keeper]
+    assert len(keepers) == len({r.cluster_id for r in res})

@@ -1,0 +1,106 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Near-dup operators (minhash/simhash/jaccard/embedding) emit PAIRS; turning
+the pair graph into keep/drop decisions needs its connected components —
+the analogue of the compactor picking one winner per key, lifted to the
+transitive closure of "is a near-duplicate of".
+
+Algorithm: hash-min label propagation (the BSP classic; Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — their CC-MR
+baseline): every node starts labeled with itself, and each round every node
+takes the min label over itself and its neighbors. Rounds = graph diameter;
+duplicate clusters are near-cliques (diameter ≲ 3), so this converges in
+2-4 rounds in practice — cheaper per round than star-contraction and with
+strictly smaller shuffles (labels are (node, long), never adjacency lists).
+
+Scale shape per round: one shuffle join of edges⋈labels on node id + one
+map-side-combined min-aggregate. Convergence is detected via the sum of all
+labels (monotonically decreasing, integer-exact) — one tiny agg per round,
+no driver-side diffing of label tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``; cluster_id = the
+    minimum node id in the node's connected component.
+
+    Raises RuntimeError if not converged after ``max_iter`` rounds (a
+    diameter-``max_iter`` duplicate graph means the threshold is far too
+    loose — fail loudly rather than emit partial clusters).
+    """
+    a, b = F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    # symmetric edge list, deduped (pair emitters guarantee a < b, but CC
+    # needs both directions)
+    edges = (
+        pairs.select(a, b).union(pairs.select(b.alias("u"), a.alias("v"))).distinct()
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
+        .select(F.col("u").alias("node"), "lbl")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # propagate: each node takes min(own label, neighbors' labels)
+        neighbor_lbl = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "lbl")
+        )
+        labels = (
+            labels.union(neighbor_lbl).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        cur_sum = labels.agg(
+            F.sum("lbl").alias("s"), F.count("*").alias("n")
+        ).collect()[0]
+        key = (cur_sum["s"], cur_sum["n"])
+        if key == prev_sum:  # labels can only decrease → equal sum = fixpoint
+            break
+        prev_sum = key
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds — "
+            "pair graph has extreme diameter; tighten the dedup threshold"
+        )
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def resolve_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Keep/drop decision per document: every doc joins its component
+    (singletons form their own), cluster_id = min doc id in the component,
+    keeper = the doc that IS the min. Output:
+    (doc_id, cluster_id, cluster_size, is_keeper)."""
+    cc = connected_components(pairs, a_col, b_col)
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc, F.col("doc_id") == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+    )

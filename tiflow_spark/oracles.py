@@ -36,6 +36,24 @@ _SHINGLES = """
 """
 
 
+_JACCARD_CTES = f"""{_SHINGLES},
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  jp AS (
+    SELECT doc_a, doc_b, n_inter, jaccard FROM (
+      SELECT doc_a, doc_b, n_inter,
+             round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    WHERE jaccard >= 0.5)
+"""
+
+
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     # identical hash family as the Spark side — parameters imported from the
     # implementation so the two can never drift
@@ -329,19 +347,26 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
 FROM documents GROUP BY 1
 """,
     "dedup_ngram_jaccard": f"""
-WITH {_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, n_inter, jaccard FROM (
-  SELECT doc_a, doc_b, n_inter,
-         round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b)
-WHERE jaccard >= 0.5
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, n_inter, jaccard FROM jp
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM assigned
 """,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -439,6 +439,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), k=16, bands=4, n=3)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: pairs → connected components →
+    keep/drop per document (the step that actually dedups at 100 TB: the
+    pair graph's transitive closure picks one keeper per cluster, the
+    compactor's winner-per-key lifted to near-dup equivalence classes)."""
+    from tiflow_spark.functions.graph import resolve_clusters
+
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return resolve_clusters(docs, pairs)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
 
@@ -511,6 +523,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
