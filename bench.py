@@ -55,7 +55,9 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
 
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", CDC_EVENTS_BY_SF.get(sf, 200_000)))
     n_convs = max(n_events // 50, 100)
-    work = f"/tmp/tiflow_bench_sf{sf}_{n_events}"
+    from tiflow_spark.generator import FEED_VERSION
+
+    work = f"/tmp/tiflow_bench_sf{sf}_{n_events}_v{FEED_VERSION}"
     feed_dir = os.path.join(work, "feed")
     if not os.path.exists(os.path.join(feed_dir, "log")):
         shutil.rmtree(work, ignore_errors=True)

@@ -165,3 +165,59 @@ def test_connected_components_chain_and_islands(spark):
     # exactly one keeper per cluster
     keepers = [r for r in res if r.is_keeper]
     assert len(keepers) == len({r.cluster_id for r in res})
+
+
+def test_jaccard_prefix_filter_lossless_and_tighter(spark):
+    from tiflow_spark.functions.dedup import (
+        _doc_shingles,
+        _jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    # every doc shares one hot trigram; only 0/1 are truly near-dup
+    hot = "the quick fox"
+    rows = [(0, f"{hot} alpha beta gamma delta one"),
+            (1, f"{hot} alpha beta gamma delta two")]
+    rows += [(i, f"{hot} unique{i} u{i}a u{i}b u{i}c u{i}d") for i in range(2, 22)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, prefix_filter=False).collect()
+    )
+    pref = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, prefix_filter=True).collect()
+    )
+    assert pref == exact and any(a == 0 and b == 1 for a, b, *_ in pref)
+
+    sh = _doc_shingles(docs, 3)
+    naive = _jaccard_candidates(sh, 0.5, prefix_filter=False).count()
+    filtered = _jaccard_candidates(sh, 0.5, prefix_filter=True).count()
+    # hot shingle makes naive quadratic (all 231 pairs); prefixes hold only
+    # rare shingles, so the hot block vanishes
+    assert naive == 22 * 21 // 2
+    assert filtered < naive / 10
+
+
+def test_simhash_block_guard_lossless(spark):
+    from tiflow_spark.functions.dedup import simhash_pairs
+
+    # near-identical docs (small hamming) + filler sharing vocabulary so
+    # chunk blocks actually repeat
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta")]
+    rows += [(i, f"alpha beta filler{i % 3} gamma x{i}") for i in range(2, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    normal = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, block_cap=10**9).collect()
+    )
+    guarded = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, block_cap=0).collect()
+    )
+    # cap=0 forces EVERY block through the secondary sub-band path — output
+    # must be identical (the guard is lossless)
+    assert guarded == normal

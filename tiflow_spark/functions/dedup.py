@@ -62,17 +62,127 @@ def _doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _jaccard_candidates(
+    sh: DataFrame, threshold: float, prefix_filter: bool
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs for Jaccard ≥ threshold.
+
+    prefix_filter=False: pairs sharing ANY shingle — a high-document-
+    frequency shingle ("it is a") forms a quadratic candidate block; fine
+    at test scale, a scale-killer on a real corpus. Kept as the reference
+    blocking for equivalence tests.
+    """
+    if not prefix_filter:
+        return (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    packed = _packed_shingles(sh, threshold)
+    prefix = packed.select("doc_id", F.explode("prefix_sh").alias("shingle"))
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _packed_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """One row per doc: (doc_id, sh_set, n_sh, prefix_sh).
+
+    prefix_sh is the PPJoin blocking prefix (Xiao et al. WWW'08 §3 —
+    LOSSLESS for the threshold): shingles ordered by global
+    (document-frequency ASC, shingle ASC), first ``|d| − ⌈t·|d|⌉ + 1``
+    kept. Any pair with J ≥ t has |∩| ≥ ⌈t·|d|⌉ in both docs, so both
+    prefixes must share an element — and prefixes are dominated by RARE
+    shingles (high-df shingles sort last and fall out of every prefix), so
+    hot-shingle quadratic candidate blocks disappear without dropping a
+    single true pair.
+
+    Plan shape: df-count aggregate (shuffle on shingle, map-side combined),
+    join df back (colocated — the aggregate's output is already hashed on
+    shingle), re-pack per doc (shuffle on doc_id), then ordering + prefix
+    slice IN-ROW via array_sort — no windows, one pass over the shingles.
+    The per-doc shingle dedupe happens in-row upstream (array_distinct), so
+    ``sh`` carries no shuffle in its lineage and rescanning it is cheap.
+    """
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    packed = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("df", "shingle")).alias("_dfsh"),
+            F.count("*").alias("n_sh"),
+        )
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    return packed.select(
+        "doc_id",
+        F.transform(F.array_sort("_dfsh"), lambda x: x["shingle"]).alias("sh_set"),
+        "n_sh",
+        F.transform(
+            F.slice(F.array_sort("_dfsh"), F.lit(1), prefix_len.cast("int")),
+            lambda x: x["shingle"],
+        ).alias("prefix_sh"),
+    )
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
-    Candidates = pairs sharing ≥1 shingle (equi-join on shingle — the
-    blocking step; a pair sharing nothing has Jaccard 0 and is skipped
-    without ever being formed). Then |∩| via the join count and
-    |∪| = |A|+|B|−|∩|. Shuffles on shingle and on (a,b) pair keys only.
+    Default (100 TB) path: pack each doc's shingle set + PPJoin prefix into
+    ONE row (see ``_packed_shingles``), generate candidates by a self-join
+    on exploded prefixes only, then verify each candidate IN-ROW with
+    ``array_intersect`` against the two full sets — |∩| and |∪| never touch
+    a shuffle, and a hot shingle cannot form a quadratic block. Output is
+    identical to the naive shared-shingle blocking (prefix filtering is
+    lossless for the threshold).
     """
-    sh = _doc_shingles(docs, n)
+    if not prefix_filter:
+        return _ngram_jaccard_naive(_doc_shingles(docs, n), threshold)
+    # in-row per-doc dedupe: no distinct shuffle, cheap to rescan
+    sh = _spread(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr("text", n))).alias("shingle"),
+    )
+    packed = _packed_shingles(sh, threshold).persist()
+    prefix = packed.select("doc_id", F.explode("prefix_sh").alias("shingle"))
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = packed.select("doc_id", "sh_set", "n_sh")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sh_set", "sh_a")
+                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sh_set", "sh_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+def _ngram_jaccard_naive(sh: DataFrame, threshold: float) -> DataFrame:
+    """Reference formulation: shared-shingle blocking + join-count |∩|."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -263,11 +373,23 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", fp, *chunk_cols)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, block_cap: int = 4096
+) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ t via pigeonhole blocking:
     t < 4 differing bits cannot touch all 4 chunks, so every true pair
     shares ≥1 exact 16-bit chunk — candidates come from 4 chunk-equality
-    joins (union), then the exact Hamming check runs per candidate."""
+    joins (union), then the exact Hamming check runs per candidate.
+
+    Skew guard (Manku et al. WWW'07 §3's extra permutation tables, in
+    banded form): a popular 16-bit chunk value forms a quadratic candidate
+    block at corpus scale. Blocks over ``block_cap`` docs are re-banded by a
+    SECOND pigeonhole over the remaining 48 bits split into 4 × 12-bit
+    sub-bands — ≤3 differing bits cannot touch all 4 sub-bands either, so a
+    true pair in an oversized block still shares (chunk, sub-band) and the
+    block's quadratic term drops by the sub-band fan-out. LOSSLESS: both
+    paths over-generate candidates and the exact Hamming check prunes.
+    """
     bits = SIMHASH_BITS
     sig = simhash_signatures(docs)
     # one banded self-join on (chunk_idx, chunk_value) — the same plan shape
@@ -295,18 +417,74 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         for c in range(SIMHASH_CHUNKS)
     )
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["chunk_idx", "chunk_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+
+    def pairs_from(blocked: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            blocked.alias("a")
+            .join(blocked.alias("b"), keys)
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()  # a pair may share several chunks
+
+    # block size via a window over the banding key: ONE shuffle (reused by
+    # the self-joins below via the cache) instead of aggregate + re-join.
+    # PERSISTED: four join sides read this table; without the cache each
+    # would re-run the token explode + 65-aggregate signature pipeline.
+    from pyspark.sql.window import Window
+
+    banded = banded.withColumn(
+        "_blk", F.count("*").over(Window.partitionBy("chunk_idx", "chunk_val"))
+    ).persist()
+    small = banded.filter(F.col("_blk") <= block_cap)
+
+    # oversized blocks: re-band on 12-bit sub-values of the OTHER 48 bits
+    # (other chunks concatenated in index order, MSB first)
+    width = bits // SIMHASH_CHUNKS
+    other48 = None
+    for c in range(SIMHASH_CHUNKS):
+        rest = [j for j in range(SIMHASH_CHUNKS) if j != c]
+        val = sum(
+            F.shiftleft(
+                F.col(f"chunk{j}").cast("long"), width * (len(rest) - 1 - i)
+            )
+            for i, j in enumerate(rest)
+        )
+        cond = F.col("chunk_idx") == c
+        other48 = F.when(cond, val) if other48 is None else other48.when(cond, val)
+    big = (
+        banded.filter(F.col("_blk") > block_cap)
+        .withColumn("_o48", other48)
+        .select(
+            "doc_id",
+            *chunk_names,
+            "chunk_idx",
+            "chunk_val",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("sub_idx"),
+                        F.shiftright(F.col("_o48"), 36 - 12 * s)
+                        .bitwiseAND(F.lit(0xFFF))
+                        .alias("sub_val"),
+                    )
+                    for s in range(4)
+                ])
+            ).alias("sb"),
+        )
+        .select(
+            "doc_id", *chunk_names, "chunk_idx", "chunk_val",
+            "sb.sub_idx", "sb.sub_val",
+        )
     )
+    out = pairs_from(small, ["chunk_idx", "chunk_val"]).union(
+        pairs_from(big, ["chunk_idx", "chunk_val", "sub_idx", "sub_val"])
+    )
+    return out.distinct()  # a pair may share several (sub-)bands/paths
 
 
 def embedding_dup_pairs(

@@ -40,9 +40,14 @@ def connected_components(
     """
     a, b = F.col(a_col).alias("u"), F.col(b_col).alias("v")
     # symmetric edge list, deduped (pair emitters guarantee a < b, but CC
-    # needs both directions)
+    # needs both directions). PERSISTED: the loop re-reads it every round,
+    # and without the cache each round would re-execute the entire upstream
+    # pair-generation pipeline — the one legitimate cache in this codebase's
+    # batch paths (iterative reuse, the textbook persist() case).
     edges = (
-        pairs.select(a, b).union(pairs.select(b.alias("u"), a.alias("v"))).distinct()
+        pairs.select(a, b).union(pairs.select(b.alias("u"), a.alias("v")))
+        .distinct()
+        .persist()
     )
     labels = (
         edges.groupBy("u")
@@ -50,27 +55,37 @@ def connected_components(
         .select(F.col("u").alias("node"), "lbl")
     )
     prev_sum = None
-    for _ in range(max_iter):
-        # propagate: each node takes min(own label, neighbors' labels)
-        neighbor_lbl = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "lbl")
-        )
-        labels = (
-            labels.union(neighbor_lbl).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        )
-        cur_sum = labels.agg(
-            F.sum("lbl").alias("s"), F.count("*").alias("n")
-        ).collect()[0]
-        key = (cur_sum["s"], cur_sum["n"])
-        if key == prev_sum:  # labels can only decrease → equal sum = fixpoint
-            break
-        prev_sum = key
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds — "
-            "pair graph has extreme diameter; tighten the dedup threshold"
-        )
+    prev_cached = None
+    try:
+        for _ in range(max_iter):
+            # propagate: each node takes min(own label, neighbors' labels)
+            neighbor_lbl = (
+                edges.join(labels, edges["v"] == labels["node"])
+                .select(F.col("u").alias("node"), "lbl")
+            )
+            labels = (
+                labels.union(neighbor_lbl)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()  # truncate per-round lineage growth
+            )
+            cur_sum = labels.agg(
+                F.sum("lbl").alias("s"), F.count("*").alias("n")
+            ).collect()[0]
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = labels
+            key = (cur_sum["s"], cur_sum["n"])
+            if key == prev_sum:  # labels only decrease → equal sum = fixpoint
+                break
+            prev_sum = key
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds — "
+                "pair graph has extreme diameter; tighten the dedup threshold"
+            )
+    finally:
+        edges.unpersist()
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

@@ -34,6 +34,10 @@ import pyarrow.parquet as pq
 
 from tiflow_spark.registry import SchemaRegistry
 
+# bump when generated-feed SEMANTICS change (benchmark caches key on this so
+# a stale /tmp feed from an older generator is never replayed)
+FEED_VERSION = 2
+
 ROLES = np.array(["user", "assistant", "system", "tool"])
 TOOLS = np.array(["", "search", "python", "browser"])  # "" -> null
 

@@ -2,25 +2,35 @@
 
 ``readStream`` tails the changefeed log directory (file source — new log
 segments appear as the upstream appends them, exactly how TiCDC tails new
-binlog/redo segments) and ``foreachBatch`` feeds each micro-batch through
-the SAME epoch apply as the batch replay loop:
+binlog/redo segments) and ``foreachBatch`` drives the SAME epoch apply as
+the batch replay loop.
 
-    micro-batch  == epoch          (tumbling window = trigger interval,
-                                    cdc/processor/pipeline/table.go:205 tick)
-    batch max ts == resolved-ts    (watermark; in-band R rows are dropped —
-                                    the trigger boundary plays their role)
-    exactly-once == at-least-once file source + epoch-fenced idempotent
-                    MERGE — the reference's own formula (SURVEY.md §2.15);
-                    Spark's checkpointLocation replays a failed batch, and
-                    the fence turns the replay into a no-op.
+Design: a micro-batch is a DISCOVERY unit, not a completeness unit. The
+file source does not guarantee segment delivery order (same-mtime files can
+surface in any order), and a commit_ts/txn can span a segment boundary — so
+neither the batch's row set nor its max ts is a safe epoch cut. The only
+safe close points are the feed's own in-band resolved-ts rows
+(cdc/model/kv.go:32): each micro-batch takes the max R mark it discovered
+as the barrier and replays ``checkpoint < commit_ts <= barrier`` from the
+LOG DIRECTORY itself (a ts-pruned scan; row-group stats skip everything
+else). Any segment the source discovered late but the upstream wrote early
+is on disk and included — file discovery order becomes irrelevant, exactly
+like the batch path.
 
-Late/duplicate data: events at or below the committed checkpoint are dropped
-by the same ``commit_ts > checkpoint`` guard the batch path uses
+    micro-batch  == barrier-advance tick
+    barrier      == max in-band resolved-ts discovered so far
+    exactly-once == at-least-once delivery + epoch-fenced idempotent MERGE —
+                    the reference's own formula (SURVEY.md §2.15); a batch
+                    replayed after a crash re-runs the epoch and the fence
+                    turns it into a no-op.
+
+Late/duplicate data: events at or below the committed checkpoint are
+excluded by the same ``commit_ts > checkpoint`` slice the batch path uses
 (dm/syncer/checkpoint.go:611-631 IsOlderThanTablePoint).
 
-Backpressure: ``maxFilesPerTrigger`` bounds per-epoch volume — the flow
-control quota of cdc/sink/common/flow_control.go:142-229 expressed as a
-source option instead of an engine mechanism.
+Backpressure: ``maxFilesPerTrigger`` bounds how many new segments (and so
+how many R marks) a tick may discover — the flow-control quota of
+cdc/sink/common/flow_control.go:142-229 expressed as a source option.
 """
 
 from __future__ import annotations
@@ -49,15 +59,22 @@ class StreamingChangefeed:
         if manifest is None:
             raise FileNotFoundError("target not bootstrapped")
         chk = manifest["checkpoint_ts"]
-        # dedupe vs checkpoint (file-source replay after failure) + drop
-        # in-band watermarks (the trigger boundary is the barrier here)
-        events = batch.filter(
-            (F.col("commit_ts") > chk) & (F.col("op") != OP_RESOLVED)
+        # barrier = the newest resolved mark this tick discovered; everything
+        # at or below it is complete BY THE FEED'S OWN CONTRACT, regardless
+        # of which segment carried it or in which order segments surfaced
+        marks = (
+            batch.filter(F.col("op") == OP_RESOLVED)
+            .select("seq", "commit_ts")
+            .collect()
         )
-        hi = events.agg(F.max("commit_ts")).collect()[0][0]
-        if hi is None:
-            return  # batch contained nothing new
-        st = self.engine.apply_slice(spark, events, manifest, barrier_ts=int(hi))
+        barrier = max((r["commit_ts"] for r in marks), default=None)
+        if barrier is None or barrier <= chk:
+            return  # no new close point yet — events wait for their R mark
+        barrier_seq = min(r["seq"] for r in marks if r["commit_ts"] >= barrier)
+        log = self.engine.read_log(spark)
+        st = self.engine.run_epoch(
+            spark, log, manifest, barrier_ts=int(barrier), barrier_seq=barrier_seq
+        )
         self.epochs.append(st)
 
     # ------------------------------------------------------------------- api
@@ -83,7 +100,8 @@ class StreamingChangefeed:
 
     def run_available(self, spark: SparkSession):
         """Process everything currently in the log, then stop (the
-        streaming twin of ChangefeedEngine.run)."""
+        streaming twin of ChangefeedEngine.run — both drain exactly up to
+        the last in-band resolved mark)."""
         q = self.start(spark, available_now=True)
         q.awaitTermination()
         return self.epochs

@@ -82,9 +82,9 @@ def main() -> None:
     levels = [int(x) for x in sys.argv[2:]] or [2, 8, 32]
 
     sys.path.insert(0, REPO)
-    from tiflow_spark.generator import generate_changefeed
+    from tiflow_spark.generator import FEED_VERSION, generate_changefeed
 
-    feed_dir = f"/tmp/tiflow_scale_{n_events}"
+    feed_dir = f"/tmp/tiflow_scale_{n_events}_v{FEED_VERSION}"
     if not os.path.exists(os.path.join(feed_dir, "log")):
         os.makedirs(feed_dir, exist_ok=True)
         t0 = time.time()
