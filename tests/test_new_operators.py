@@ -147,3 +147,20 @@ def test_quality_scores_gate(spark):
     assert rows[0].keep and not rows[1].keep and not rows[2].keep
     assert rows[0].stop_permille > 0 and rows[0].punct_permille > 0
     assert rows[2].punct_permille == 0
+
+
+def test_expr_filter_per_op(spark):
+    from tiflow_spark.operators.filters import expr_filter_per_op
+
+    feed = spark.createDataFrame(
+        [("I", 5, 0), ("I", 50, 0), ("U", 5, 99), ("U", 5, 1),
+         ("D", 5, 0), ("D", 500, 0)],
+        "op string, value long, pre_value long",
+    )
+    kept = expr_filter_per_op(
+        feed, insert="value < 10", update_old="pre_value > 50",
+        delete="value >= 100",
+    ).collect()
+    got = sorted((r.op, r.value) for r in kept)
+    # dropped: I value=5 (insert rule), U pre=99 (update-old rule), D 500
+    assert got == [("D", 5), ("I", 50), ("U", 5)]

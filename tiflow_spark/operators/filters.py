@@ -59,6 +59,40 @@ def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
     return df.filter(~F.expr(sql_predicate))
 
 
+def expr_filter_per_op(
+    df: DataFrame,
+    insert: str | None = None,
+    update_old: str | None = None,
+    update_new: str | None = None,
+    delete: str | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-operation expression filters, DM's full vocabulary
+    (dm/syncer/expr_filter_group.go:120-203): separate predicates for
+    insert / update-old / update-new / delete; a row is dropped when the
+    predicate for ITS op class matches. Update predicates evaluate against
+    the pre-image (``pre_``-prefixed columns, update_old) or the post-image
+    (update_new); an update is dropped if EITHER matches (the reference
+    drops when any configured filter hits, expr_filter_group.go:174-189).
+
+    ``update_old`` predicates reference the ``pre_``-prefixed columns
+    directly (the envelope carries the pre-image there).
+
+    One CASE-dispatched Catalyst predicate — no branch-per-op scans.
+    """
+    op = F.col(op_col)
+    drop = F.lit(False)
+    if insert:
+        drop = drop | ((op == "I") & F.expr(insert))
+    if update_old:
+        drop = drop | ((op == "U") & F.expr(update_old))
+    if update_new:
+        drop = drop | ((op == "U") & F.expr(update_new))
+    if delete:
+        drop = drop | ((op == "D") & F.expr(delete))
+    return df.filter(~drop)
+
+
 REPLICABLE_DDL_ACTIONS = (
     "add_column",
     "drop_column",

@@ -36,6 +36,46 @@ _SHINGLES = """
 """
 
 
+def _avro_varint_sql(v: str) -> str:
+    """Base-128 varint of a nonnegative expr as lowercase hex — the same
+    5-septet unroll as the Spark side (queries._varint_hex)."""
+    parts = []
+    for i in range(5):
+        sept = f"((({v}) >> {7 * i}) & 127)"
+        more = f"((({v}) >> {7 * (i + 1)}) > 0)"
+        byte = f"({sept} + CASE WHEN {more} THEN 128 ELSE 0 END)"
+        cond = "TRUE" if i == 0 else f"(({v}) >= {1 << (7 * i)})"
+        parts.append(f"CASE WHEN {cond} THEN printf('%02x', {byte}) ELSE '' END")
+    return " || ".join(parts)
+
+
+def _avro_sql() -> str:
+    from tiflow_spark.queries import AVRO_SCHEMA_JSON
+
+    body = " || ".join(
+        [
+            _avro_varint_sql("user_id * 2"),
+            _avro_varint_sql("commit_ts * 2"),
+            _avro_varint_sql("length(op) * 2"),
+            "lower(hex(op))",
+            _avro_varint_sql("length(event_type) * 2"),
+            "lower(hex(event_type))",
+        ]
+    )
+    return (
+        "WITH feed AS (" + _FEED + "),\n"
+        "reg AS (SELECT 1 AS schema_id, md5('" + AVRO_SCHEMA_JSON + "')"
+        " AS fingerprint),\n"
+        "enc AS (\n"
+        "  SELECT event_id, schema_id, fingerprint,\n"
+        "         '00' || printf('%08x', schema_id) || " + body
+        + " AS wire_hex\n"
+        "  FROM feed, reg)\n"
+        "SELECT event_id, schema_id, fingerprint, wire_hex,"
+        " md5(wire_hex) AS wire_md5 FROM enc"
+    )
+
+
 _JACCARD_CTES = f"""{_SHINGLES},
   sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
   inter AS (
@@ -199,6 +239,17 @@ WHERE op <> 'D' AND start_ts NOT IN (1, 2, 3, 100)
   AND NOT (event_type = 'click' AND value < 0.5)
 GROUP BY op, event_type
 """,
+    "cdc_expr_filter_per_op": f"""
+WITH feed AS ({_FEED}),
+pre AS (SELECT *, value / 2 AS pre_value FROM feed)
+SELECT op, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM pre
+WHERE NOT ((op = 'I' AND value < 0.1)
+        OR (op = 'U' AND pre_value > 0.45)
+        OR (op = 'D' AND start_ts < 2000))
+GROUP BY op
+""",
     "cdc_txn_group": f"""
 WITH feed AS ({_FEED})
 SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS txn_day,
@@ -327,6 +378,7 @@ enc AS (
   FROM feed)
 SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
+    "cdc_encode_avro": _avro_sql(),
     "cdc_batch_reduce": f"""
 WITH feed AS ({_FEED}),
 b AS (

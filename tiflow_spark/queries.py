@@ -161,6 +161,29 @@ def cdc_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("op", "event_type").agg(F.count("*").alias("n"))
 
 
+def cdc_expr_filter_per_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op expression filters (F5 full vocabulary,
+    dm/syncer/expr_filter_group.go:120-203): inserts dropped when value is
+    tiny, updates dropped when the PRE-image value was large, deletes
+    dropped for early txns — three independent predicates dispatched by op
+    class in one Catalyst CASE."""
+    from tiflow_spark.operators.filters import expr_filter_per_op
+
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        "pre_value", F.col("value") / 2  # deterministic stand-in pre-image
+    )
+    kept = expr_filter_per_op(
+        feed,
+        insert="value < 0.1",
+        update_old="pre_value > 0.45",
+        delete="start_ts < 2000",
+    )
+    return kept.groupBy("op").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("value_milli"),
+    )
+
+
 def cdc_txn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Txn grouping (A2): rows grouped into per-(key, day) transactions with
     integer-exact value sums (milli-units, so any agg order is bit-equal)."""
@@ -404,6 +427,62 @@ def cdc_encode_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
 
 
+AVRO_SCHEMA_JSON = (
+    '{"type":"record","name":"events","fields":['
+    '{"name":"user_id","type":"long"},{"name":"commit_ts","type":"long"},'
+    '{"name":"op","type":"string"},{"name":"event_type","type":"string"}]}'
+)
+
+
+def _hex_byte(b):
+    return F.lower(F.lpad(F.hex(b), 2, "0"))
+
+
+def _varint_hex(v):
+    """Avro/protobuf base-128 varint of a nonnegative long (< 2^35), as a
+    lowercase hex string — unrolled to 5 septets, pure codegen arithmetic."""
+    parts = []
+    for i in range(5):
+        sept = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
+        more = F.shiftright(v, 7 * (i + 1)) > 0
+        byte = sept + F.when(more, F.lit(0x80)).otherwise(F.lit(0))
+        present = F.lit(i == 0) | (v >= F.lit(1 << (7 * i)))
+        parts.append(F.when(present, _hex_byte(byte)).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def cdc_encode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro + schema-registry sink analogue (K5, cdc/sink/codec/avro.go:75,
+    119,184): the Confluent wire format — magic byte 0x00, 4-byte schema id
+    (from a registry row whose fingerprint is md5 of the canonical schema
+    JSON), then the record's true Avro BINARY body: zigzag-varint longs and
+    varint-length-prefixed UTF-8 strings, fields in schema order. Emitted as
+    a hex string so an independent engine byte-checks it; every byte comes
+    from JVM-side integer/hex expressions (no UDF, no avro lib)."""
+    feed = events_as_changefeed(spark, sf_dir)
+    registry = spark.createDataFrame(
+        [(1, "events-value", 1)], "schema_id int, subject string, version int"
+    ).withColumn("fingerprint", F.md5(F.lit(AVRO_SCHEMA_JSON)))
+    # zigzag(n) = 2n for nonnegative n (ids/ts/lengths are all nonnegative)
+    body = F.concat(
+        _varint_hex(F.col("user_id") * 2),
+        _varint_hex(F.col("commit_ts") * 2),
+        _varint_hex(F.length("op").cast("long") * 2),
+        F.lower(F.hex("op")),
+        _varint_hex(F.length("event_type").cast("long") * 2),
+        F.lower(F.hex("event_type")),
+    )
+    enc = feed.crossJoin(F.broadcast(registry)).select(
+        "event_id",
+        "schema_id",
+        "fingerprint",
+        F.concat(
+            F.lit("00"), F.lower(F.lpad(F.hex("schema_id"), 8, "0")), body
+        ).alias("wire_hex"),
+    )
+    return enc.withColumn("wire_md5", F.md5("wire_hex"))
+
+
 def cdc_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-statement reduction (A5, reduceReplace cdc/sink/mysql.go:764-797
     + maxTxnRow=256 mysql_params.go:37): within each dispatch bucket, rows in
@@ -507,6 +586,7 @@ QUERIES = {
     "cdc_watermark_cut": cdc_watermark_cut,
     "cdc_partition_frontier": cdc_partition_frontier,
     "cdc_filter_rules": cdc_filter_rules,
+    "cdc_expr_filter_per_op": cdc_expr_filter_per_op,
     "cdc_txn_group": cdc_txn_group,
     "cdc_salted_dispatch": cdc_salted_dispatch,
     "cdc_schema_asof": cdc_schema_asof,
@@ -518,6 +598,7 @@ QUERIES = {
     "cdc_validate_checksum": cdc_validate_checksum,
     "cdc_encode_maxwell": cdc_encode_maxwell,
     "cdc_encode_canal": cdc_encode_canal,
+    "cdc_encode_avro": cdc_encode_avro,
     "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
