@@ -379,6 +379,23 @@ enc AS (
 SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
     "cdc_encode_avro": _avro_sql(),
+    "cdc_mq_dispatch": f"""
+WITH feed AS ({_FEED}),
+enc AS (
+  SELECT *, to_json({{'u': user_id, 'ts': commit_ts, 'o': op}})::VARCHAR
+           AS envelope,
+         ((ascii(substr(md5(coalesce(CAST(user_id AS VARCHAR), '')), 1, 1)) * 256
+         + ascii(substr(md5(coalesce(CAST(user_id AS VARCHAR), '')), 2, 1))) % 8)
+           AS "partition"
+  FROM feed)
+SELECT "partition",
+       CAST(row_number() OVER (
+         PARTITION BY "partition"
+         ORDER BY commit_ts, CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+                  start_ts, seq) - 1 AS BIGINT) AS "offset",
+       envelope, md5(envelope) AS envelope_md5
+FROM enc
+""",
     "cdc_batch_reduce": f"""
 WITH feed AS ({_FEED}),
 b AS (

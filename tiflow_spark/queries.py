@@ -427,6 +427,37 @@ def cdc_encode_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
 
 
+def cdc_mq_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ sink dispatch (K4, cdc/sink/mq.go:55-220 +
+    dispatcher/partition/index_value.go:36-56): every event routed to its
+    topic partition by a portable key hash, with a dense per-partition
+    offset in canonical order — the exact (partition, offset, payload)
+    stream a Kafka producer would emit."""
+    from tiflow_spark.sinks.mq import mq_dispatch
+
+    feed = events_as_changefeed(spark, sf_dir)
+    enc = feed.withColumn(
+        "envelope",
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("u"),
+                F.col("commit_ts").alias("ts"),
+                F.col("op").alias("o"),
+            )
+        ),
+    )
+    from tiflow_spark.model import event_order_cols
+
+    d = mq_dispatch(enc, ["user_id"], 8)
+    w = Window.partitionBy("partition").orderBy(*event_order_cols())
+    return d.select(
+        "partition",
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        "envelope",
+        F.md5("envelope").alias("envelope_md5"),
+    )
+
+
 AVRO_SCHEMA_JSON = (
     '{"type":"record","name":"events","fields":['
     '{"name":"user_id","type":"long"},{"name":"commit_ts","type":"long"},'
@@ -599,6 +630,7 @@ QUERIES = {
     "cdc_encode_maxwell": cdc_encode_maxwell,
     "cdc_encode_canal": cdc_encode_canal,
     "cdc_encode_avro": cdc_encode_avro,
+    "cdc_mq_dispatch": cdc_mq_dispatch,
     "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -23,11 +23,21 @@ sys.path.insert(0, REPO)
 CHECKS = {
     # partial_ before the exchange == map-side combine of the LWW fold
     "cdc_lww_replay": ["partial_max", "hashpartitioning"],
+    # global top-k must compile to TakeOrderedAndProject, never a
+    # single-partition window sort
+    "cdc_canonical_order": ["TakeOrderedAndProject"],
     "cdc_watermark_cut": ["PushedFilters: [IsNotNull(event_id), GreaterThan(event_id"],
     "cdc_schema_asof": ["ReadSchema: struct<event_id:bigint>"],
     "text_langid": ["BroadcastExchange"],
     "dedup_minhash_lsh": [],
+    "dedup_ngram_jaccard": [],
+    # one fold shuffle serves every routed table at once
+    "cdc_multi_table": ["partial_max", "hashpartitioning"],
+    # pure projection over a broadcast 1-row registry: zero hash exchanges
+    "cdc_encode_avro": ["BroadcastExchange"],
     "cdc_replay_plan": ["partial_max", "hashpartitioning"],
+    # CoW merge: survivors = LeftAnti against the epoch's touched keys
+    "merge_write_plan": ["LeftAnti"],
 }
 
 
@@ -51,8 +61,9 @@ def main() -> None:
     spark = get_spark(app="explain", cpus=4, shuffle_partitions=8)
 
     plans: dict[str, str] = {}
-    for name in ("cdc_lww_replay", "cdc_watermark_cut", "cdc_schema_asof",
-                 "text_langid", "dedup_minhash_lsh"):
+    for name in ("cdc_lww_replay", "cdc_canonical_order", "cdc_watermark_cut",
+                 "cdc_schema_asof", "text_langid", "dedup_minhash_lsh",
+                 "dedup_ngram_jaccard", "cdc_multi_table", "cdc_encode_avro"):
         plans[name] = plan_of(q.QUERIES[name](spark, sf_dir))
 
     # the replay hot path: epoch slice → fold → decode → bucket (pre-merge)
@@ -85,6 +96,20 @@ def main() -> None:
                                 envelope_cols=("op", "_n_events", "_max_commit_ts"))
         changes = changes.withColumn(BUCKET_COL, bucket_expr(list(KEY_COLS), 4))
         plans["cdc_replay_plan"] = plan_of(changes)
+
+        # the CoW merge write: survivors (anti-join vs touched keys, bucket
+        # pruned) ∪ upserts — what _write_data materializes per epoch
+        eng.bootstrap(spark, os.path.join(tmp, "base", "transcripts.parquet"))
+        m = eng.table.current_manifest()
+        existing = eng.table.read(spark, m)
+        payload_names = [f.name for f in reg.current.fields]
+        upserts = changes.filter(F.col("op") != "D").select(
+            *KEY_COLS, *payload_names, BUCKET_COL
+        )
+        survivors = existing.join(
+            changes.select(*KEY_COLS), on=list(KEY_COLS), how="left_anti"
+        ).withColumn(BUCKET_COL, bucket_expr(list(KEY_COLS), 4))
+        plans["merge_write_plan"] = plan_of(survivors.unionByName(upserts))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
