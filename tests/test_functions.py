@@ -221,3 +221,57 @@ def test_simhash_block_guard_lossless(spark):
     # cap=0 forces EVERY block through the secondary sub-band path — output
     # must be identical (the guard is lossless)
     assert guarded == normal
+
+
+def test_kmeans_recovers_clusters_and_fresh_dedup(spark):
+    """k-means on a WELL-SEPARATED synthetic corpus (the driver's stored
+    embeddings are deliberately near-orthogonal — label is not a geometric
+    cluster there): 3 orthogonal cluster axes + small noise; farthest-first
+    init + Lloyd's must recover the partition exactly, and fresh-corpus
+    dedup blocking (learned cells) must equal stored-label blocking."""
+    import numpy as np
+
+    from tiflow_spark.functions.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_fresh,
+    )
+    from tiflow_spark.functions.similarity import assign_cells, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    dim, per = 8, 20
+    rows = []
+    for c in range(3):
+        base = np.zeros(dim)
+        base[c] = 1.0
+        for j in range(per):
+            v = base + 0.08 * rng.standard_normal(dim)
+            v = v / np.linalg.norm(v)
+            rows.append((c * per + j, [float(x) for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    true = {r[0]: r[2] for r in rows}
+
+    assigned, cents = kmeans_fit(emb, k=3, max_iter=8)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+    mapping = {}
+    for vid, cell in got.items():
+        mapping.setdefault(cell, set()).add(true[vid])
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    assert len(mapping) == 3
+
+    # assignment against the learned codebook is stable (home cell = own)
+    home = {r.vec_id: r.cell for r in
+            assign_cells(emb, cents, nprobe=1, cell_col="cell").collect()}
+    assert home == got
+
+    # fresh-corpus dedup == label-blocked dedup once cells == labels
+    want = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embedding_dup_pairs(emb, threshold=0.9).collect()
+    )
+    fresh = sorted(
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embedding_dup_pairs_fresh(emb, threshold=0.9, k=3).collect()
+    )
+    assert fresh == want and len(want) > 100

@@ -487,6 +487,21 @@ def simhash_pairs(
     return out.distinct()  # a pair may share several (sub-)bands/paths
 
 
+def embedding_dup_pairs_fresh(
+    emb: DataFrame, threshold: float = 0.98, k: int = 10, max_iter: int = 10
+) -> DataFrame:
+    """Embedding near-dup for a corpus with NO stored block/cluster column:
+    train a k-means codebook (similarity.kmeans_fit — deterministic
+    farthest-first init + Lloyd's), block by the learned cell, then the
+    per-block quadratic pair scan. The full fresh-corpus path the stored
+    ``label`` column short-circuits in ``embedding_dup_pairs``."""
+    from tiflow_spark.functions.similarity import kmeans_fit
+
+    assigned, _ = kmeans_fit(emb, k=k, max_iter=max_iter)
+    blocked = emb.join(assigned, "vec_id")
+    return embedding_dup_pairs(blocked, threshold, block_col="cell")
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.98, block_col: str = "label"
 ) -> DataFrame:

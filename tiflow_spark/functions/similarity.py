@@ -80,6 +80,160 @@ def ivf_centroids(emb: DataFrame, cell_col: str = "label") -> DataFrame:
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Coarse-quantizer assignment: each vector's ``nprobe`` nearest cells
+    by cosine against the broadcast codebook (the step a fresh, unlabeled
+    vector needs before any IVF probe). Output: (id, cell, probe_rank);
+    probe_rank 1 is the home cell. Codebook is n_cells rows — broadcast;
+    the scan side never shuffles."""
+    c = F.broadcast(
+        centroids.select(F.col(cell_col).alias("cell"), "centroid")
+    )
+    scored = vectors.crossJoin(c).select(
+        F.col(id_col),
+        "cell",
+        F.round(cosine_expr(F.col("embedding"), F.col("centroid")), 6).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, "cell", F.col("probe_rank").cast("int"))
+    )
+
+
+def ivf_topk_fresh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF ANN for FRESH query vectors (no stored cell): assign each query
+    to its ``nprobe`` nearest centroids, then search only those inverted
+    lists. nprobe > 1 recovers most of the recall probe-1 loses at the cost
+    of nprobe/n_cells of the corpus per query — the standard IVF knob.
+
+    The codebook is materialized once (n_cells rows — control-plane-sized,
+    like the schema registry): inlining its aggregation subtree into every
+    downstream broadcast branch would re-run it per job and bloat planning.
+    """
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(r[cell_col], [float(x) for x in r["centroid"]])
+         for r in ivf_centroids(corpus, cell_col).collect()],
+        f"{cell_col} int, centroid array<double>",
+    )
+    probes = assign_cells(
+        queries.select("vec_id", "embedding"), cents, nprobe=nprobe,
+        cell_col=cell_col,
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ).join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+    )
+    scored = (
+        q.join(
+            corpus,
+            (F.col(cell_col) == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "cos")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    codebook-training step for IVF / embedding-dedup blocking on a corpus
+    with NO stored labels.
+
+    Init: farthest-first traversal (Gonzalez 2-approx): seed = lowest id,
+    then repeatedly take the vector with the smallest max-cosine to the
+    chosen set (ties by id) — k tiny driver rounds, deterministic, one seed
+    per well-separated cluster. Iterate: broadcast codebook → assign by
+    cosine → per-(cell, dim) mean (two map-side-combined aggregates) until
+    the assignment signature is stable. Same persist-per-round pattern as
+    connected_components. Returns (assignments(id, cell), centroids).
+    """
+    vecs = emb.select(F.col(id_col), F.col("embedding")).persist()
+    # ---- farthest-first init (driver loop over tiny argmax jobs)
+    first = vecs.orderBy(id_col).limit(1).collect()[0]
+    chosen = [(0, list(first["embedding"]))]
+    for i in range(1, k):
+        cdf = F.broadcast(
+            vecs.sparkSession.createDataFrame(
+                chosen, "cell int, centroid array<double>"
+            )
+        )
+        far = (
+            vecs.crossJoin(cdf)
+            .select(id_col, "embedding",
+                    F.round(cosine_expr(F.col("embedding"), F.col("centroid")), 6).alias("_cos"))
+            .groupBy(id_col, "embedding")
+            .agg(F.max("_cos").alias("_near"))
+            .orderBy(F.asc("_near"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((i, [float(x) for x in far["embedding"]]))
+    centroids = vecs.sparkSession.createDataFrame(
+        chosen, "cell int, centroid array<double>"
+    )
+    # ---- Lloyd iterations
+    assigned = None
+    prev_sig = None
+    prev_cached = None
+    for _ in range(max_iter):
+        assigned = assign_cells(
+            vecs, centroids, nprobe=1, id_col=id_col, cell_col="cell"
+        ).select(id_col, "cell").persist()
+        sig = assigned.agg(
+            F.sum(F.col(id_col) * (F.col("cell") + 1)).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = assigned
+        key = (sig["s"], sig["n"])
+        if key == prev_sig:
+            break
+        prev_sig = key
+        per_dim = (
+            vecs.join(assigned, id_col)
+            .select("cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+        )
+        centroids = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.expr("transform(dm, x -> x.m)").alias("centroid"))
+        )
+    vecs.unpersist()
+    return assigned, centroids
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, cell_col: str = "label"
 ) -> DataFrame:

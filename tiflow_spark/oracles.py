@@ -473,6 +473,35 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, "rank", cos FROM ranked WHERE "rank" <= 10
 """,
+    "ann_ivf_fresh": f"""
+WITH per_dim AS (
+  SELECT label, r.i AS i, avg(embedding[r.i]::DOUBLE) AS m
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+  GROUP BY 1, 2),
+cent AS (SELECT label AS cell, list(m ORDER BY i) AS centroid
+         FROM per_dim GROUP BY 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {_COS.format(a="q_emb", b="centroid")} DESC, cell ASC)
+      AS probe_rank
+    FROM q CROSS JOIN cent)
+  WHERE probe_rank <= 2),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="q_emb", b="e.embedding")} AS cos
+  FROM q JOIN pr USING (query_id)
+  JOIN embeddings e ON e.label = pr.cell AND e.vec_id <> query_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER)
+    AS "rank"
+  FROM scored)
+SELECT query_id, neighbor_id, "rank", cos FROM ranked WHERE "rank" <= 10
+""",
     "text_stats": """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

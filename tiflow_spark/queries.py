@@ -583,6 +583,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=10)
 
 
+def ann_ivf_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF for FRESH query vectors: assign each query to its 2 nearest
+    centroids (the coarse-quantizer step a vector without a stored cell
+    needs), then search only those inverted lists — nprobe=2 recovers the
+    recall probe-1 loses at 2/n_cells of the corpus per query."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return similarity.ivf_topk_fresh(emb, queries, k=10, nprobe=2)
+
+
 # ----------------------------------------------------------- text analysis
 
 
@@ -640,6 +650,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_fresh": ann_ivf_fresh,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
