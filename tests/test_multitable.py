@@ -157,6 +157,29 @@ def test_shard_merge_routing(spark, tmp_path):
     assert by_key[("c1", 0)] == "from shard 2"  # later shard write wins
 
 
+def test_multi_table_streaming_tail(spark, tmp_path):
+    """The Structured Streaming front-end drives a MULTI-table changefeed:
+    micro-batch ticks advance every routed table to the discovered resolved
+    marks; finals byte-match the per-table oracles."""
+    from tiflow_spark.streaming import StreamingChangefeed
+
+    base_a, base_b, log_dir = _two_table_feed(tmp_path)
+    eng = _engine(tmp_path, log_dir)
+    eng.bootstrap(spark, {"alpha": os.path.dirname(base_a),
+                          "beta": os.path.dirname(base_b)})
+    sc = StreamingChangefeed(eng, str(tmp_path / "chk"))
+    epochs = sc.run_available(spark)
+    assert epochs and all(e.committed for e in epochs)
+    assert_tables_equal(
+        eng.final_state(spark, "alpha").toPandas(),
+        sequential_apply(base_a, log_dir, source_tables={"app.alpha"}),
+    )
+    assert_tables_equal(
+        eng.final_state(spark, "beta").toPandas(),
+        sequential_apply(base_b, log_dir, source_tables={"app.beta"}),
+    )
+
+
 def test_first_match_wins_routing(spark, tmp_path):
     """Overlapping rules: an earlier narrow rule claims its table before a
     later catch-all — the event must land exactly once."""

@@ -472,6 +472,24 @@ class ChangefeedEngine:
             committed=committed,
         )
 
+    def advance_to(
+        self, spark: SparkSession, barrier_ts: int, barrier_seq: int | None = None
+    ) -> list[EpochStats]:
+        """Apply exactly one epoch up to ``barrier_ts`` (no-op when the
+        checkpoint already covers it) — the unit both front-ends share: the
+        batch loop picks barriers from collected control rows, the streaming
+        tail from the marks each micro-batch discovers."""
+        m = self.table.current_manifest()
+        if m is None:
+            raise FileNotFoundError("target not bootstrapped")
+        if m["checkpoint_ts"] >= barrier_ts:
+            return []
+        log = self.read_log(spark)
+        st = self.run_epoch(
+            spark, log, m, barrier_ts=barrier_ts, barrier_seq=barrier_seq
+        )
+        return [st]
+
     # ---------------------------------------------------------------- reads
     def final_state(self, spark: SparkSession) -> DataFrame:
         return self.table.read(spark)
@@ -661,6 +679,35 @@ class MultiTableEngine:
             if barrier == barriers[-1]:
                 break
         return stats
+
+    def advance_to(
+        self, spark: SparkSession, barrier_ts: int, barrier_seq: int | None = None
+    ) -> list[EpochStats]:
+        """One epoch up to ``barrier_ts`` for every target table that has
+        not passed it yet (per-table fences make partial progress exact) —
+        the streaming front-end's per-tick unit."""
+        log = self.read_log(spark)
+        out: list[EpochStats] = []
+        for name, table in self.tables.items():
+            m = table.current_manifest()
+            if m is None:
+                raise FileNotFoundError(f"table {name!r} not bootstrapped")
+            if m["checkpoint_ts"] >= barrier_ts:
+                continue
+            sliced = watermark_cut(
+                log.filter(self._route_pred(name)),
+                low_ts=m["checkpoint_ts"],
+                high_ts=barrier_ts,
+            )
+            sub = ChangefeedEngine(self.log_path, table)
+            out.append(
+                sub.apply_slice(
+                    spark, sliced, m, barrier_ts,
+                    ddl_rows=None,  # collected from the routed slice
+                    barrier_seq=barrier_seq,
+                )
+            )
+        return out
 
     def final_state(self, spark: SparkSession, name: str) -> DataFrame:
         return self.tables[name].read(spark)

@@ -38,14 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiflow_spark.engine import ChangefeedEngine, EpochStats
+from tiflow_spark.engine import ChangefeedEngine, EpochStats, MultiTableEngine
 from tiflow_spark.model import CHANGE_EVENT_SCHEMA, OP_RESOLVED
 
 
 class StreamingChangefeed:
-    """Continuous tail of a changefeed log directory into a LakeTable."""
+    """Continuous tail of a changefeed log directory into one LakeTable
+    (``ChangefeedEngine``) or a routed set of them (``MultiTableEngine``)."""
 
-    def __init__(self, engine: ChangefeedEngine, checkpoint_dir: str,
+    def __init__(self, engine: "ChangefeedEngine | MultiTableEngine",
+                 checkpoint_dir: str,
                  max_files_per_trigger: int | None = None):
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir
@@ -54,11 +56,12 @@ class StreamingChangefeed:
 
     # ------------------------------------------------------------- internals
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One tick: take the newest resolved mark this batch discovered as
+        the barrier and advance the engine to it. Works for BOTH engine
+        kinds — ``ChangefeedEngine`` (one epoch) and ``MultiTableEngine``
+        (one epoch per behind table) — through the shared ``advance_to``;
+        already-covered barriers no-op via the manifest checkpoint."""
         spark = batch.sparkSession
-        manifest = self.engine.table.current_manifest()
-        if manifest is None:
-            raise FileNotFoundError("target not bootstrapped")
-        chk = manifest["checkpoint_ts"]
         # barrier = the newest resolved mark this tick discovered; everything
         # at or below it is complete BY THE FEED'S OWN CONTRACT, regardless
         # of which segment carried it or in which order segments surfaced
@@ -68,14 +71,12 @@ class StreamingChangefeed:
             .collect()
         )
         barrier = max((r["commit_ts"] for r in marks), default=None)
-        if barrier is None or barrier <= chk:
+        if barrier is None:
             return  # no new close point yet — events wait for their R mark
         barrier_seq = min(r["seq"] for r in marks if r["commit_ts"] >= barrier)
-        log = self.engine.read_log(spark)
-        st = self.engine.run_epoch(
-            spark, log, manifest, barrier_ts=int(barrier), barrier_seq=barrier_seq
+        self.epochs.extend(
+            self.engine.advance_to(spark, int(barrier), barrier_seq)
         )
-        self.epochs.append(st)
 
     # ------------------------------------------------------------------- api
     def start(self, spark: SparkSession, trigger_seconds: float | None = None,
