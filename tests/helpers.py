@@ -75,8 +75,10 @@ def write_base(base_fp, base_rows):
     return base_fp
 
 
-def write_log(log_dir, events, final_resolved=True):
-    """Write a changefeed log parquet; appends a covering final R row."""
+def write_log(log_dir, events, final_resolved=True, control_sidecar=True):
+    """Write a changefeed log parquet; appends a covering final R row.
+    Also writes the log/_control sidecar (R+DDL rows) unless disabled —
+    tests that append raw segments later exercise the fallback scan."""
     os.makedirs(log_dir, exist_ok=True)
     events = list(events)
     if final_resolved:
@@ -85,16 +87,26 @@ def write_log(log_dir, events, final_resolved=True):
     schema = pa.schema(EVENT_COLS)
     table = pa.Table.from_pylist(events, schema=schema)
     pq.write_table(table, os.path.join(log_dir, "changefeed-00000.parquet"))
+    if control_sidecar:
+        ctl = [e for e in events if e["op"] in ("R", "DDL")]
+        ctl_dir = os.path.join(log_dir, "_control")
+        os.makedirs(ctl_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(ctl, schema=schema),
+            os.path.join(ctl_dir, "control-00000.parquet"),
+        )
     return log_dir
 
 
-def write_feed(tmp_path, events, base_rows=None, final_resolved=True):
+def write_feed(tmp_path, events, base_rows=None, final_resolved=True,
+               control_sidecar=True):
     """Write base/transcripts.parquet + log/changefeed parquet; returns paths."""
     base_fp = write_base(
         os.path.join(str(tmp_path), "base", "transcripts.parquet"), base_rows
     )
     log_dir = write_log(
-        os.path.join(str(tmp_path), "log"), events, final_resolved=final_resolved
+        os.path.join(str(tmp_path), "log"), events,
+        final_resolved=final_resolved, control_sidecar=control_sidecar,
     )
     return base_fp, log_dir
 

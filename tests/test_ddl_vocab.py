@@ -112,7 +112,8 @@ def test_truncate_with_empty_tail_then_resume(spark, tmp_path):
         ev(0, "U", 101, "c1", 0, pl("doomed")),
         ev(1, "DDL", 102, ddl={"action": "truncate_table"}),
     ]
-    base_fp, log_dir = write_feed(tmp_path, events, BASE)
+    # raw segments appended below → no sidecar (exercises the fallback scan)
+    base_fp, log_dir = write_feed(tmp_path, events, BASE, control_sidecar=False)
     table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
     eng = ChangefeedEngine(log_dir, table)
     eng.bootstrap(spark, base_fp)

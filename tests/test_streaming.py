@@ -47,7 +47,9 @@ def test_stream_resumes_on_new_segments(spark, tmp_path):
     )
     # hold back half the segments
     held = []
-    log_files = sorted(os.listdir(feed.log_path))
+    log_files = sorted(
+        f for f in os.listdir(feed.log_path) if f.startswith("changefeed-")
+    )
     for fn in log_files[2:]:
         src = os.path.join(feed.log_path, fn)
         dst = os.path.join(str(tmp_path), "held_" + fn)

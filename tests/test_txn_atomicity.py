@@ -83,7 +83,10 @@ def test_resolved_regression_detected_across_restart(spark, tmp_path):
 
     base = [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")]
     events = [ev(0, "U", 120, "c1", 0, pl("ok")), ev(1, "R", 150)]
-    base_fp, log_dir = write_feed(tmp_path, events, base, final_resolved=False)
+    # raw segments appended below → no sidecar (exercises the fallback scan)
+    base_fp, log_dir = write_feed(
+        tmp_path, events, base, final_resolved=False, control_sidecar=False
+    )
     table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
     eng = ChangefeedEngine(log_dir, table)
     eng.bootstrap(spark, base_fp)

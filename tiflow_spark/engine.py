@@ -58,7 +58,9 @@ class ResolvedTsRegression(Exception):
     (cdc/model/sink.go:527-536 Append commitTs-mismatch check)."""
 
 
-def validate_resolved_contract(spark, log: DataFrame, marks: list[tuple[int, int]]):
+def validate_resolved_contract(
+    spark, log: DataFrame, marks: list[tuple[int, int]], seq_floor: int = -1
+):
     """Raise ResolvedTsRegression if any DML with seq > mark_seq has
     commit_ts <= mark_ts for some mark (an R row, or the committed
     checkpoint).
@@ -82,6 +84,10 @@ def validate_resolved_contract(spark, log: DataFrame, marks: list[tuple[int, int
             best = t
             steps.append((s, best))
     dml = log.filter(F.col("op").isin(*DML_OPS)).select("seq", "commit_ts")
+    if seq_floor >= 0:
+        # rows at/below the floor were validated by an earlier run; seq is
+        # write-ordered, so this predicate prunes whole row groups
+        dml = dml.filter(F.col("seq") > seq_floor)
     if len(steps) <= 512:
         bound = None
         for s, b in reversed(steps):  # first match = largest threshold < seq
@@ -105,6 +111,29 @@ def validate_resolved_contract(spark, log: DataFrame, marks: list[tuple[int, int
             "after a resolved-ts covering it — feed violates the resolved "
             "contract; refusing to continue (reference panics here)"
         )
+
+
+def read_control(spark, log_path: str, low_ts: int, cols) -> list:
+    """Control rows (R + DDL) above ``low_ts``. Prefers the
+    ``log/_control`` sidecar — the producer mirrors control rows there (the
+    generator and test helpers both do), and the underscore prefix hides it
+    from the main data scan — so the control plane reads a handful of rows
+    instead of scanning the whole log for them (at 10^10 events the full
+    scan would dominate the epoch loop). Logs without a sidecar (raw
+    appends) fall back to the full scan."""
+    import os
+
+    ctl_dir = os.path.join(log_path, "_control")
+    src_path = ctl_dir if os.path.isdir(ctl_dir) else log_path
+    src = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(src_path)
+    return (
+        src.filter(
+            F.col("op").isin(OP_RESOLVED, OP_DDL) & (F.col("commit_ts") > low_ts)
+        )
+        .select(*cols)
+        .orderBy("commit_ts", "seq")
+        .collect()
+    )
 
 
 @dataclass
@@ -256,6 +285,9 @@ class ChangefeedEngine:
     def read_log(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.log_path)
 
+    def read_control(self, spark: SparkSession, low_ts: int, cols) -> list:
+        return read_control(spark, self.log_path, low_ts, cols)
+
     def run(
         self,
         spark: SparkSession,
@@ -287,15 +319,9 @@ class ChangefeedEngine:
         # ONE control-plane job per *run*: R barriers + DDL rows above the
         # starting checkpoint, collected once and sliced in Python per epoch
         # (both streams are tiny; the owner's barrier bookkeeping and the
-        # DDL puller share a scan, cdc/owner/ddl_puller.go wiring)
-        control = (
-            log.filter(
-                F.col("op").isin(OP_RESOLVED, OP_DDL)
-                & (F.col("commit_ts") > m0["checkpoint_ts"])
-            )
-            .select("op", "commit_ts", "seq", "ddl")
-            .orderBy("commit_ts", "seq")
-            .collect()
+        # DDL puller share a read, cdc/owner/ddl_puller.go wiring)
+        control = self.read_control(
+            spark, m0["checkpoint_ts"], ("op", "commit_ts", "seq", "ddl")
         )
         resolved = [
             (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
@@ -304,7 +330,13 @@ class ChangefeedEngine:
             marks = list(resolved)
             if m0.get("checkpoint_seq", -1) >= 0:
                 marks.append((m0["checkpoint_seq"], m0["checkpoint_ts"]))
-            validate_resolved_contract(spark, log, marks)
+            # incremental: events at or below the committed promise seq were
+            # validated by the run that committed it (appended segments carry
+            # strictly higher seqs by the log contract) — the seq predicate
+            # prunes whole row groups since seq is write-ordered
+            validate_resolved_contract(
+                spark, log, marks, seq_floor=m0.get("checkpoint_seq", -1)
+            )
         while True:
             m = self.table.current_manifest()
             chk = m["checkpoint_ts"]
@@ -610,16 +642,10 @@ class MultiTableEngine:
                 raise FileNotFoundError(f"table {name!r} not bootstrapped")
             manifests[name] = m
         chk0 = min(m["checkpoint_ts"] for m in manifests.values())
-        # one control-plane collect per run (see ChangefeedEngine.run); DDL
-        # rows carry their source table for driver-side routing
-        control = (
-            log.filter(
-                F.col("op").isin(OP_RESOLVED, OP_DDL)
-                & (F.col("commit_ts") > chk0)
-            )
-            .select("op", "commit_ts", "seq", "ddl", "tbl")
-            .orderBy("commit_ts", "seq")
-            .collect()
+        # one control-plane collect per run (sidecar-aware, see read_control);
+        # DDL rows carry their source table for driver-side routing
+        control = read_control(
+            spark, self.log_path, chk0, ("op", "commit_ts", "seq", "ddl", "tbl")
         )
         resolved = [
             (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED

@@ -307,6 +307,16 @@ def generate_changefeed(
                 pq.write_table(
                     chunk, os.path.join(log_dir, f"changefeed-{i:05d}.parquet")
                 )
+    # control sidecar: the R/DDL rows again, under log/_control/ — the
+    # underscore prefix keeps it out of the main data scan (Hadoop hides it),
+    # and the engine's control-plane reads touch only this tiny file instead
+    # of scanning the whole log for a handful of rows (at 10^10 events the
+    # full-scan control read would dominate the epoch loop)
+    ctl_mask = (out["op"] == "R") | (out["op"] == "DDL")
+    ctl = pa.Table.from_pandas(out[ctl_mask], schema=schema, preserve_index=False)
+    ctl_dir = os.path.join(log_dir, "_control")
+    os.makedirs(ctl_dir, exist_ok=True)
+    pq.write_table(ctl, os.path.join(ctl_dir, "control-00000.parquet"))
     return GeneratedFeed(
         base_path=base_fp,
         log_path=log_dir,
