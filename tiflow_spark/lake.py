@@ -121,8 +121,18 @@ class LakeTable:
         out = os.path.join(self.path, "data", commit_id)
         if BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
+        # write parallelism is NOT capped at the bucket count: partitioning
+        # on (bucket, key) lets one bucket's rows span several tasks — each
+        # writes its own file into the bucket directory, and the manifest
+        # already lists many files per bucket. An epoch touching few buckets
+        # on a wide cluster still uses every core.
+        try:
+            cores = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect
+            cores = self.num_buckets
+        n_tasks = max(self.num_buckets, cores)
         (
-            df.repartition(self.num_buckets, BUCKET_COL)
+            df.repartition(n_tasks, BUCKET_COL, *[F.col(c) for c in self.key_cols])
             .write.partitionBy(BUCKET_COL)
             .mode("error")
             .parquet(out)
