@@ -31,12 +31,17 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_embedding",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_fresh",
     "text_stats",
+    "text_quality",
     "text_langid",
     "text_fingerprint",
     "mm_binary_meta",
+    "mm_decode_meta",
+    "cdc_encode_canal_pb",
 ]
 
 # sf → synthetic changefeed size (events) for the engine replay leg

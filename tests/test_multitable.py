@@ -204,3 +204,58 @@ def test_first_match_wins_routing(spark, tmp_path):
     got_r = eng.final_state(spark, "rest").toPandas()
     assert set(got_s["conv_id"]) == {"c1"}
     assert set(got_r["conv_id"]) == {"c2"}
+
+
+def test_route_glob_anchored_whole_name(spark, tmp_path):
+    """Exact-rule 'transcripts' must NOT claim 'old_transcripts': routing
+    regexes are anchored at BOTH ends so executor-side routing matches the
+    whole source name, identically to driver-side route_name (which uses
+    fnmatch.fnmatch). Regression test for the unanchored-rlike bug where
+    fnmatch.translate()'s regex matched as a suffix."""
+    base = write_base(os.path.join(str(tmp_path), "base", "t.parquet"), [])
+    events = [
+        ev(0, "I", 101, "c1", 0, pl("new row"), tbl="transcripts"),
+        ev(1, "I", 102, "c2", 0, pl("old row"), tbl="old_transcripts"),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"t_new": LakeTable(str(tmp_path / "tgt_n"), num_buckets=2),
+                "t_old": LakeTable(str(tmp_path / "tgt_o"), num_buckets=2)},
+        rules=[("transcripts", "t_new"), ("old_*", "t_old")],
+    )
+    eng.bootstrap(spark, {"t_new": os.path.dirname(base),
+                          "t_old": os.path.dirname(base)})
+    eng.run(spark)
+    got_n = eng.final_state(spark, "t_new").toPandas()
+    got_o = eng.final_state(spark, "t_old").toPandas()
+    assert set(got_n["conv_id"]) == {"c1"}  # no suffix-claimed old row
+    assert set(got_o["conv_id"]) == {"c2"}
+
+
+def test_multitable_passes_incremental_validation_floor(spark, tmp_path, monkeypatch):
+    """Resumed multi-table runs prune contract validation below the min
+    committed checkpoint_seq (mirrors the single-table seq_floor path) —
+    without it every run re-scans the whole DML log, O(runs x log)."""
+    import tiflow_spark.engine as engine_mod
+
+    base_a, base_b, log_dir = _two_table_feed(tmp_path)
+    eng = _engine(tmp_path, log_dir)
+    eng.bootstrap(spark, {"alpha": os.path.dirname(base_a),
+                          "beta": os.path.dirname(base_b)})
+    eng.run(spark)
+    floors = [eng.tables[n].current_manifest().get("checkpoint_seq", -1)
+              for n in eng.tables]
+    assert min(floors) >= 0  # both tables committed a resolved promise
+
+    seen = {}
+    real = engine_mod.validate_resolved_contract
+
+    def spy(spark_, log, marks, seq_floor=-1):
+        seen["floor"] = seq_floor
+        return real(spark_, log, marks, seq_floor=seq_floor)
+
+    monkeypatch.setattr(engine_mod, "validate_resolved_contract", spy)
+    eng2 = _engine(tmp_path, log_dir)
+    eng2.run(spark)
+    assert seen["floor"] == min(floors)

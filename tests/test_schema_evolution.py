@@ -96,3 +96,38 @@ def test_untouched_rows_gain_added_column_default(spark, tmp_path):
     assert got.loc["c2", "note"] == "set"
     expected = sequential_apply(base_fp, log_dir)
     assert_tables_equal(eng.final_state(spark).toPandas(), expected)
+
+
+def test_type_recycled_field_decodes_raw_then_casts(spark, tmp_path):
+    """modify_column int -> string with DML sharing the DDL's commit_ts
+    (hypothesis-found): decode must treat the recycled field as a raw JSON
+    lexeme and CAST once to the final type — an int payload renders its
+    digits, a post-modify string survives verbatim, and a string under a
+    later int type nulls out instead of aborting (try_cast semantics).
+    Byte-matches the sequential oracle."""
+    base = [("c0", 0, "user", "b0", None, "2024-01-01T00:00:00")]
+    events = [
+        ev(0, "DDL", 100, ddl={"action": "add_column", "name": "m1",
+                               "type": "int", "default": None}),
+        ev(1, "I", 101, "c0", 0,
+           {"role": "r", "text": "t1", "tool": None,
+            "ts": "2024-01-01T00:00:00", "m1": 8}, ver=None),
+        ev(2, "DDL", 101, ddl={"action": "modify_column", "name": "m1",
+                               "type": "string"}),
+        # same commit_ts as the modify DDL, later seq, string payload
+        ev(3, "I", 101, "c0", 1,
+           {"role": "r", "text": "t2", "tool": None,
+            "ts": "2024-01-01T00:00:00", "m1": "v14"}, ver=None),
+        ev(4, "R", 102),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, base, final_resolved=False)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark)
+    got = eng.final_state(spark).toPandas()
+    exp = sequential_apply(base_fp, log_dir)
+    assert_tables_equal(got, exp)
+    by_key = {(r.conv_id, r.turn_idx): r.m1 for r in got.itertuples()}
+    assert by_key[("c0", 0)] == "8"     # int payload under final string type
+    assert by_key[("c0", 1)] == "v14"   # post-modify string at the tied ts

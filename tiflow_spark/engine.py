@@ -120,11 +120,29 @@ def read_control(spark, log_path: str, low_ts: int, cols) -> list:
     from the main data scan — so the control plane reads a handful of rows
     instead of scanning the whole log for them (at 10^10 events the full
     scan would dominate the epoch loop). Logs without a sidecar (raw
-    appends) fall back to the full scan."""
+    appends) fall back to the full scan — as does a *stale* sidecar: if any
+    log segment is newer than the newest sidecar segment (a producer
+    appended data without mirroring control rows, e.g. a raw tail after
+    generation), its R/DDL rows would be invisible and the checkpoint would
+    silently stall, so we detect the lag by mtime and take the full scan.
+    Producers that want the fast path must append sidecar segments together
+    with (or after) the log segments they cover — the generator does."""
     import os
 
+    def _max_mtime(d):
+        newest = -1.0
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith("_")]
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    newest = max(newest, os.path.getmtime(os.path.join(root, fn)))
+        return newest
+
     ctl_dir = os.path.join(log_path, "_control")
-    src_path = ctl_dir if os.path.isdir(ctl_dir) else log_path
+    src_path = log_path
+    if os.path.isdir(ctl_dir):
+        if _max_mtime(ctl_dir) >= _max_mtime(log_path):
+            src_path = ctl_dir
     src = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(src_path)
     return (
         src.filter(
@@ -184,19 +202,24 @@ def decode_events(
     whole-stage-codegen'd; no Python in the hot path (the reference needs a
     32-worker decode pool for this, cdc/entry/mounter.go:107).
 
-    ``envelope_cols`` are passed through unchanged. Falls back to
-    per-version parse branches only if two versions reuse one field *name*
-    at different types (drop + re-add with a new type).
+    ``envelope_cols`` are passed through unchanged.
+
+    Type-recycled names (modify_column, or drop + re-add at a new type)
+    stay single-pass: the union struct parses such a field as a raw STRING
+    (JSON lexeme passthrough) and every branch casts to the target field's
+    type — semantically "decode raw, CAST once at the final projection",
+    which is exactly the sequential oracle's rule and Spark CAST semantics
+    (int payload under a now-string column renders its digits; a non-numeric
+    string under a now-int column nulls). This also makes decode independent
+    of DDL-vs-DML seq ordering at a shared commit_ts: the version only picks
+    the NAME mapping, never the type.
     """
-    # union struct: every (name, type) ever live; conflict → fallback
+    # union struct: every (name, type) ever live; recycled name → string
     union_fields: dict[str, str] = {}
-    conflict = False
     for v in registry.versions:
         for f in v.fields:
             if union_fields.setdefault(f.name, f.type) != f.type:
-                conflict = True
-    if conflict:
-        return _decode_events_multipass(dml, registry, target_version, envelope_cols)
+                union_fields[f.name] = "string"
 
     dml = dml.withColumn("_ver", schema_version_expr(registry))
     struct_u = transcript_struct(
@@ -215,47 +238,17 @@ def decode_events(
         default_lit = F.lit(f.default).cast(f.type)
         for v in registry.versions:
             src = next((vf.name for vf in v.fields if vf.fid == f.fid), None)
-            branch = F.col(f"_p.{src}") if src is not None else default_lit
+            # try_cast covers modify_column and the raw-string union fields:
+            # old-version payloads evolve to the target type at decode time,
+            # malformed values null out (ANSI cast would abort the job on
+            # e.g. a pre-modify string under a now-int column)
+            branch = (
+                F.col(f"_p.{src}").try_cast(f.type) if src is not None else default_lit
+            )
             cond = F.col("_ver") == v.version
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
         cols.append(expr.otherwise(default_lit).alias(f.name))
     return parsed.select(*cols)
-
-
-def _decode_events_multipass(
-    dml: DataFrame,
-    registry: SchemaRegistry,
-    target_version: int,
-    envelope_cols: tuple[str, ...] = ("seq", "op", "commit_ts", "start_ts"),
-) -> DataFrame:
-    """Per-version parse branches (one from_json per version, unioned) —
-    only used when a field name was recycled at a different type."""
-    dml = dml.withColumn("_ver", schema_version_expr(registry))
-    tgt = registry.get(target_version)
-    parts = []
-    for v in registry.versions:
-        struct_v = transcript_struct(
-            [(f.fid, f.name, f.type, f.default) for f in v.fields]
-        )
-        sub = dml.filter(F.col("_ver") == v.version)
-        decoded = sub.withColumn("_p", F.from_json("payload", struct_v))
-        cols = [
-            *[F.col(c) for c in envelope_cols],
-            *[F.col(k) for k in KEY_COLS],
-        ]
-        for dst_name, src_name, default in registry.projection(v.version, target_version):
-            ftype = next(f.type for f in tgt.fields if f.name == dst_name)
-            if src_name is not None:
-                # cast covers modify_column: old-version payloads evolve to
-                # the target type at decode time
-                cols.append(F.col(f"_p.{src_name}").cast(ftype).alias(dst_name))
-            else:
-                cols.append(F.lit(default).cast(ftype).alias(dst_name))
-        parts.append(decoded.select(*cols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 class ChangefeedEngine:
@@ -295,11 +288,22 @@ class ChangefeedEngine:
         barrier_stride: int = 0,
         target_ts: int | None = None,
         validate_resolved: bool = True,
+        syncpoint_every: int | None = None,
     ) -> RunStats:
         """Process outstanding barriers. ``barrier_stride=0`` coalesces ALL
         outstanding resolved-ts marks into one epoch (max throughput);
         ``barrier_stride=1`` takes one epoch per resolved-ts mark (max
         granularity / latency); k>1 coalesces k marks per epoch.
+
+        ``syncpoint_every``: emit a sync point at least every that many ts
+        units of progress (TiCDC's syncPointBarrier,
+        cdc/owner/barrier.go:28-29 + cdc/owner/changefeed.go:271-272,483):
+        epoch coalescing never skips past the next sync target; the epoch
+        that lands on it records ``(primary_ts=barrier, epoch)`` in the
+        manifest's ``syncpoints`` list, so upstream at primary_ts and the
+        downstream snapshot at that epoch can be diffed exactly (the
+        ``syncpoint_v1`` table analogue — the manifest IS our downstream
+        metadata table).
 
         ``target_ts``: finish barrier (cdc/owner/changefeed.go:456-501
         min(ddl, sync-point, finish)): replay stops once the checkpoint
@@ -354,6 +358,16 @@ class ChangefeedEngine:
                 barrier = barriers[-1]
             else:
                 barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            # sync-point clamp: never coalesce past the next sync target —
+            # the sync snapshot must land exactly on a resolved mark
+            is_syncpoint = False
+            if syncpoint_every:
+                next_sp = (chk // syncpoint_every + 1) * syncpoint_every
+                sp_barrier = next((b for b in barriers if b >= next_sp), None)
+                if sp_barrier is not None:
+                    if barrier > sp_barrier:
+                        barrier = sp_barrier
+                    is_syncpoint = barrier == sp_barrier
             # the earliest resolved-ts promise covering this barrier: events
             # at or below the barrier all have seq <= this (resume guard)
             barrier_seq = min(
@@ -364,7 +378,8 @@ class ChangefeedEngine:
                 if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
             ]
             st = self.run_epoch(
-                spark, log, m, barrier, ddl_rows=ddl_rows, barrier_seq=barrier_seq
+                spark, log, m, barrier, ddl_rows=ddl_rows, barrier_seq=barrier_seq,
+                syncpoint=is_syncpoint,
             )
             stats.epochs.append(st)
             if max_epochs is not None and len(stats.epochs) >= max_epochs:
@@ -381,12 +396,13 @@ class ChangefeedEngine:
         barrier_ts: int,
         ddl_rows: list | None = None,
         barrier_seq: int | None = None,
+        syncpoint: bool = False,
     ) -> EpochStats:
         chk = manifest["checkpoint_ts"]
         sliced = watermark_cut(log, low_ts=chk, high_ts=barrier_ts)
         return self.apply_slice(
             spark, sliced, manifest, barrier_ts, ddl_rows=ddl_rows,
-            barrier_seq=barrier_seq,
+            barrier_seq=barrier_seq, syncpoint=syncpoint,
         )
 
     def apply_slice(
@@ -397,6 +413,7 @@ class ChangefeedEngine:
         barrier_ts: int,
         ddl_rows: list | None = None,
         barrier_seq: int | None = None,
+        syncpoint: bool = False,
     ) -> EpochStats:
         """Apply one epoch's worth of events (already cut to
         ``checkpoint < commit_ts <= barrier``) as a single fenced commit.
@@ -495,6 +512,7 @@ class ChangefeedEngine:
             # merge its own distinct-collect job over the folded set
             affected_buckets=[r["bucket"] for r in lineage_rows],
             truncate=truncate_ts is not None,
+            syncpoint=syncpoint,
         )
         return EpochStats(
             epoch=epoch,
@@ -589,7 +607,12 @@ class MultiTableEngine:
         not_earlier = F.lit(True)
         pred = F.lit(False)
         for pat, tgt in self.rules:
-            m = src.rlike(fnmatch.translate(pat.lower()).replace("\\Z", "$"))
+            # anchor BOTH ends: rlike matches anywhere in the string, so an
+            # unanchored fnmatch.translate() regex would let rule
+            # 'transcripts' claim source 'old_transcripts' (suffix match) —
+            # diverging from the driver-side route_name (fnmatch.fnmatch,
+            # whole-name). '^' + ...$ makes executor routing exact.
+            m = src.rlike("^" + fnmatch.translate(pat.lower()).replace("\\Z", "$"))
             if tgt == target:
                 pred = pred | (m & not_earlier)
             not_earlier = not_earlier & ~m
@@ -655,7 +678,15 @@ class MultiTableEngine:
             for m in manifests.values():
                 if m.get("checkpoint_seq", -1) >= 0:
                     marks.append((m["checkpoint_seq"], m["checkpoint_ts"]))
-            validate_resolved_contract(spark, log, marks)
+            # incremental floor = min committed promise across tables: every
+            # event at/below it was validated by the run that committed the
+            # laggiest table's checkpoint (mirrors the single-table path) —
+            # without it each run re-scans the whole DML log, O(runs × log)
+            seq_floor = min(
+                (m.get("checkpoint_seq", -1) for m in manifests.values()),
+                default=-1,
+            )
+            validate_resolved_contract(spark, log, marks, seq_floor=seq_floor)
         stats = {name: RunStats() for name in self.tables}
         rounds = 0
         while True:

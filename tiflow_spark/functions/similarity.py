@@ -163,40 +163,39 @@ def kmeans_fit(
     k: int = 10,
     max_iter: int = 10,
     id_col: str = "vec_id",
+    init_sample: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over an embedding column — the
     codebook-training step for IVF / embedding-dedup blocking on a corpus
     with NO stored labels.
 
-    Init: farthest-first traversal (Gonzalez 2-approx): seed = lowest id,
-    then repeatedly take the vector with the smallest max-cosine to the
-    chosen set (ties by id) — k tiny driver rounds, deterministic, one seed
-    per well-separated cluster. Iterate: broadcast codebook → assign by
+    Init: farthest-first traversal (Gonzalez 2-approx) over a bounded
+    deterministic sample — the ``init_sample`` lowest-id vectors, collected
+    once (one TakeOrdered job, ≤ sample×dim doubles on the driver) and
+    swept in numpy. Seed = lowest id, then repeatedly take the sample
+    vector with the smallest max-cosine (rounded to 6 dp, ties by lowest
+    id) to the chosen set. Init cost is independent of corpus size; on a
+    corpus at/below the sample bound it picks exactly the seeds the
+    full-corpus traversal would. Iterate: broadcast codebook → assign by
     cosine → per-(cell, dim) mean (two map-side-combined aggregates) until
     the assignment signature is stable. Same persist-per-round pattern as
     connected_components. Returns (assignments(id, cell), centroids).
     """
+    import numpy as np
+
     vecs = emb.select(F.col(id_col), F.col("embedding")).persist()
-    # ---- farthest-first init (driver loop over tiny argmax jobs)
-    first = vecs.orderBy(id_col).limit(1).collect()[0]
-    chosen = [(0, list(first["embedding"]))]
+    # ---- farthest-first init on the lowest-id sample (driver-side numpy)
+    sample = vecs.orderBy(id_col).limit(max(init_sample, k)).collect()
+    V = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    Vn = V / norms[:, None]
+    chosen = [(0, [float(x) for x in V[0]])]
+    nearest = np.round(Vn @ Vn[0], 6)  # max cosine to the chosen set
     for i in range(1, k):
-        cdf = F.broadcast(
-            vecs.sparkSession.createDataFrame(
-                chosen, "cell int, centroid array<double>"
-            )
-        )
-        far = (
-            vecs.crossJoin(cdf)
-            .select(id_col, "embedding",
-                    F.round(cosine_expr(F.col("embedding"), F.col("centroid")), 6).alias("_cos"))
-            .groupBy(id_col, "embedding")
-            .agg(F.max("_cos").alias("_near"))
-            .orderBy(F.asc("_near"), F.asc(id_col))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append((i, [float(x) for x in far["embedding"]]))
+        j = int(np.argmin(nearest))  # first occurrence = lowest id (sorted)
+        chosen.append((i, [float(x) for x in V[j]]))
+        nearest = np.maximum(nearest, np.round(Vn @ Vn[j], 6))
     centroids = vecs.sparkSession.createDataFrame(
         chosen, "cell int, centroid array<double>"
     )

@@ -121,18 +121,29 @@ class LakeTable:
         out = os.path.join(self.path, "data", commit_id)
         if BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
-        # write parallelism is NOT capped at the bucket count: partitioning
-        # on (bucket, key) lets one bucket's rows span several tasks — each
-        # writes its own file into the bucket directory, and the manifest
-        # already lists many files per bucket. An epoch touching few buckets
-        # on a wide cluster still uses every core.
+        # write parallelism is NOT capped at the bucket count, but the salt
+        # is *within-bucket*: each bucket splits into at most
+        # ceil(cores / num_buckets) sub-partitions, so files per commit stay
+        # ~= max(cores, num_buckets). Hashing on the raw key instead (the
+        # round-2 regression) scattered every bucket across every task —
+        # tasks × buckets files per commit (32 → 1024 measured), a
+        # small-file/metadata explosion that at 1000 buckets × 1000 tasks
+        # would mean 10^6 files per epoch. On a wide cluster
+        # ceil(cores/buckets) > 1 still splits each hot bucket; at
+        # cores == buckets the salt is constant and partitioning degenerates
+        # to pure bucket hashing (one file per bucket).
         try:
             cores = df.sparkSession.sparkContext.defaultParallelism
         except Exception:  # Spark Connect
             cores = self.num_buckets
         n_tasks = max(self.num_buckets, cores)
+        splits_per_bucket = -(-cores // self.num_buckets)  # ceil
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit(77)),
+            F.lit(splits_per_bucket),
+        )
         (
-            df.repartition(n_tasks, BUCKET_COL, *[F.col(c) for c in self.key_cols])
+            df.repartition(n_tasks, F.col(BUCKET_COL), salt)
             .write.partitionBy(BUCKET_COL)
             .mode("error")
             .parquet(out)
@@ -202,8 +213,15 @@ class LakeTable:
                 os.path.join(self.path, e["path"])
             )
         if not by_version:
-            # freshly-truncated table: no data files, schema-only snapshot
-            key_types = m.get("key_types") or ["string", "int"]
+            # freshly-truncated table: no data files, schema-only snapshot.
+            # key_types is recorded at create(); a manifest without it cannot
+            # be reconstructed safely — fail loudly rather than guess types.
+            key_types = m.get("key_types")
+            if not key_types:
+                raise ValueError(
+                    f"lake table {self.path}: empty snapshot has no key_types "
+                    "in its manifest; cannot derive an empty-table schema"
+                )
             ddl = ", ".join(
                 [f"`{k}` {t}" for k, t in zip(self.key_cols, key_types)]
                 + [f"`{f.name}` {f.type}" for f in cur.fields]
@@ -226,6 +244,28 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def manifest_for_epoch(self, epoch: int) -> dict:
+        """Historical manifest (snapshot time-travel handle); GC'd epochs
+        raise FileNotFoundError."""
+        with open(os.path.join(self._manifest_dir, f"m{epoch:012d}.json")) as f:
+            return json.load(f)
+
+    def read_at_syncpoint(self, spark: SparkSession, primary_ts: int) -> DataFrame:
+        """Downstream state at a recorded sync point: the snapshot whose
+        manifest logged ``primary_ts`` — exactly comparable with the
+        upstream at that ts (TiCDC sync-point diff workflow,
+        cdc/owner/changefeed.go:271-272)."""
+        m = self.current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"lake table {self.path} has no snapshot")
+        sp = next(
+            (s for s in m.get("syncpoints", []) if s["primary_ts"] == primary_ts),
+            None,
+        )
+        if sp is None:
+            raise KeyError(f"no sync point recorded at primary_ts={primary_ts}")
+        return self.read(spark, self.manifest_for_epoch(sp["epoch"]))
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Per-partition lineage rows (FIXTURES.md F4) from manifest history."""
@@ -294,6 +334,7 @@ class LakeTable:
         affected_buckets: list[int] | None = None,
         checkpoint_seq: int | None = None,
         truncate: bool = False,
+        syncpoint: bool = False,
     ) -> bool:
         """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
 
@@ -372,16 +413,31 @@ class LakeTable:
         lineage = list(m.get("lineage", []))
         for ln in lineage_rows or []:
             lineage.append({"epoch": epoch, **ln})
+        # sync points (TiCDC syncpoint_v1 analogue): this epoch's snapshot
+        # IS the downstream state at exactly primary_ts — record the pair
+        # so upstream@primary_ts and read_at_epoch(epoch) can be diffed
+        syncpoints = list(m.get("syncpoints", []))
+        if syncpoint:
+            syncpoints.append({"primary_ts": checkpoint_ts, "epoch": epoch})
         manifest = {
             "epoch": epoch,
             "checkpoint_ts": checkpoint_ts,
             # seq of the resolved-ts promise backing this checkpoint: on
             # resume, any event with seq beyond it but commit_ts at/below the
-            # checkpoint is a resolved-contract violation (lost-event guard)
+            # checkpoint is a resolved-contract violation (lost-event guard).
+            # When the caller advances checkpoint_ts without supplying a seq,
+            # inheriting the old seq would fabricate a promise
+            # (old_seq, new_ts) that was never made and trip a false
+            # ResolvedTsRegression on the next validated run — reset to -1
+            # (no promise) instead; same-ts commits keep the prior promise.
             "checkpoint_seq": (
                 checkpoint_seq
                 if checkpoint_seq is not None
-                else m.get("checkpoint_seq", -1)
+                else (
+                    m.get("checkpoint_seq", -1)
+                    if checkpoint_ts == m.get("checkpoint_ts")
+                    else -1
+                )
             ),
             "schema_version": cur_version,
             "registry": registry.to_json(),
@@ -390,5 +446,6 @@ class LakeTable:
             "num_buckets": self.num_buckets,
             "files": keep_files + new_files,
             "lineage": lineage,
+            "syncpoints": syncpoints,
         }
         return self._commit(manifest)

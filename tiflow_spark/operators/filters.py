@@ -72,8 +72,11 @@ def expr_filter_per_op(
     insert / update-old / update-new / delete; a row is dropped when the
     predicate for ITS op class matches. Update predicates evaluate against
     the pre-image (``pre_``-prefixed columns, update_old) or the post-image
-    (update_new); an update is dropped if EITHER matches (the reference
-    drops when any configured filter hits, expr_filter_group.go:174-189).
+    (update_new); an update is dropped only when BOTH configured update
+    predicates match — the reference ANDs them, with an unconfigured side
+    defaulting to TRUE via expression.NewOne
+    (dm/syncer/dml.go:182-194 ``skip1 && skip2``). With a single update
+    predicate configured this is equivalent to matching that one alone.
 
     ``update_old`` predicates reference the ``pre_``-prefixed columns
     directly (the envelope carries the pre-image there).
@@ -84,10 +87,10 @@ def expr_filter_per_op(
     drop = F.lit(False)
     if insert:
         drop = drop | ((op == "I") & F.expr(insert))
-    if update_old:
-        drop = drop | ((op == "U") & F.expr(update_old))
-    if update_new:
-        drop = drop | ((op == "U") & F.expr(update_new))
+    upd_old = F.expr(update_old) if update_old else F.lit(True)
+    upd_new = F.expr(update_new) if update_new else F.lit(True)
+    if update_old or update_new:
+        drop = drop | ((op == "U") & upd_old & upd_new)
     if delete:
         drop = drop | ((op == "D") & F.expr(delete))
     return df.filter(~drop)

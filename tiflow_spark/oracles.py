@@ -49,6 +49,55 @@ def _avro_varint_sql(v: str) -> str:
     return " || ".join(parts)
 
 
+def _pb_str_sql(tag_byte: int, expr: str) -> str:
+    """Protobuf length-delimited string field as hex (mirrors
+    queries._pb_str_field)."""
+    return (
+        f"'{tag_byte:02x}' || {_avro_varint_sql(f'length({expr})')}"
+        f" || lower(hex({expr}))"
+    )
+
+
+def _canal_pb_sql() -> str:
+    """DuckDB mirror of queries.cdc_encode_canal_pb: identical tag bytes,
+    varints, and length-delimited framing, built over staged CTEs so nested
+    message lengths come from the already-composed hex columns."""
+    header = " || ".join([
+        _pb_str_sql(0x0A, "'app'"),
+        _pb_str_sql(0x12, "event_type"),
+        "'18'", _avro_varint_sql("commit_ts"),
+        "'20'", _avro_varint_sql(
+            "CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END"),
+    ])
+    col0 = " || ".join([
+        "'08'", _avro_varint_sql("0"),
+        _pb_str_sql(0x12, "'user_id'"),
+        _pb_str_sql(0x1A, "CAST(user_id AS VARCHAR)"),
+    ])
+    col1 = " || ".join([
+        "'08'", _avro_varint_sql("1"),
+        _pb_str_sql(0x12, "'value_milli'"),
+        _pb_str_sql(0x1A, "CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR)"),
+    ])
+    entry = " || ".join([
+        "'0a'", _avro_varint_sql("length(header_hex) // 2"), "header_hex",
+        "'1000'",
+        "'1a'", _avro_varint_sql("length(c0_hex) // 2"), "c0_hex",
+        "'1a'", _avro_varint_sql("length(c1_hex) // 2"), "c1_hex",
+    ])
+    return (
+        "WITH feed AS (" + _FEED + "),\n"
+        "parts AS (SELECT event_id, " + header + " AS header_hex, "
+        + col0 + " AS c0_hex, " + col1 + " AS c1_hex FROM feed),\n"
+        "e AS (SELECT event_id, " + entry + " AS entry_hex FROM parts)\n"
+        "SELECT event_id, "
+        + _avro_varint_sql("length(entry_hex) // 2")
+        + " || entry_hex AS wire_hex, md5("
+        + _avro_varint_sql("length(entry_hex) // 2")
+        + " || entry_hex) AS wire_md5 FROM e"
+    )
+
+
 def _avro_sql() -> str:
     from tiflow_spark.queries import AVRO_SCHEMA_JSON
 
@@ -246,7 +295,7 @@ SELECT op, count(*) AS n,
        CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM pre
 WHERE NOT ((op = 'I' AND value < 0.1)
-        OR (op = 'U' AND pre_value > 0.45)
+        OR (op = 'U' AND pre_value > 0.45 AND value > 0.93)
         OR (op = 'D' AND start_ts < 2000))
 GROUP BY op
 """,
@@ -343,7 +392,8 @@ d AS (
   FROM (SELECT user_id,
                md5(concat_ws('|', coalesce(CAST(user_id AS VARCHAR), ''),
                              coalesce(CAST(event_id AS VARCHAR), ''),
-                             coalesce(op, ''), coalesce(event_type, ''))) AS h
+                             coalesce(op, ''), coalesce(event_type, ''),
+                             coalesce(nullif(event_type, 'click'), ''))) AS h
         FROM feed))
 SELECT bucket, count(*) AS n_rows, CAST(sum(digest) AS BIGINT) AS checksum
 FROM d GROUP BY 1
@@ -379,6 +429,7 @@ enc AS (
 SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
     "cdc_encode_avro": _avro_sql(),
+    "cdc_encode_canal_pb": _canal_pb_sql(),
     "cdc_mq_dispatch": f"""
 WITH feed AS ({_FEED}),
 enc AS (
@@ -569,6 +620,19 @@ SELECT doc_id,
        AS INTEGER) AS first_byte,
   substr(sha256(text), 1, 16) AS sha16,
   CAST(strlen(text) // 40 AS INTEGER) AS frame_count
+FROM documents
+""",
+    "mm_decode_meta": """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS fmt,
+  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 16 + doc_id % 64 ELSE -1 END
+       AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 8 + doc_id % 32 ELSE -1 END
+       AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE -1 END
+       AS INTEGER) AS sample_rate,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 900 ELSE -1 END
+       AS INTEGER) AS n_samples
 FROM documents
 """,
 }

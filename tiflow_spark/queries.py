@@ -164,9 +164,10 @@ def cdc_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_expr_filter_per_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-op expression filters (F5 full vocabulary,
     dm/syncer/expr_filter_group.go:120-203): inserts dropped when value is
-    tiny, updates dropped when the PRE-image value was large, deletes
-    dropped for early txns — three independent predicates dispatched by op
-    class in one Catalyst CASE."""
+    tiny, updates dropped only when BOTH the pre-image and post-image
+    predicates match (dm/syncer/dml.go:182-194 ANDs skip1 && skip2),
+    deletes dropped for early txns — dispatched by op class in one
+    Catalyst CASE."""
     from tiflow_spark.operators.filters import expr_filter_per_op
 
     feed = events_as_changefeed(spark, sf_dir).withColumn(
@@ -176,6 +177,7 @@ def cdc_expr_filter_per_op(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed,
         insert="value < 0.1",
         update_old="pre_value > 0.45",
+        update_new="value > 0.93",
         delete="start_ts < 2000",
     )
     return kept.groupBy("op").agg(
@@ -360,9 +362,15 @@ def cdc_validate_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     these tiny summaries instead of shipping rows."""
     from tiflow_spark.operators.validator import table_checksums
 
-    feed = events_as_changefeed(spark, sf_dir)
+    feed = events_as_changefeed(spark, sf_dir).withColumn(
+        # NULL-bearing content column: pins the null-safe digest encoding
+        # (nulls → '' on BOTH engines; DuckDB concat_ws would silently skip
+        # a bare NULL, diverging without the coalesce)
+        "maybe_null", F.expr("nullif(event_type, 'click')")
+    )
     return table_checksums(
-        feed, key_col="user_id", content_cols=["event_id", "op", "event_type"],
+        feed, key_col="user_id",
+        content_cols=["event_id", "op", "event_type", "maybe_null"],
         n_buckets=16,
     )
 
@@ -514,6 +522,73 @@ def cdc_encode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.withColumn("wire_md5", F.md5("wire_hex"))
 
 
+def _pb_str_field(tag_byte: int, col):
+    """Protobuf length-delimited string field as hex: 1-byte tag
+    ((field_no << 3) | 2), varint byte length, UTF-8 bytes."""
+    return F.concat(
+        F.lit(f"{tag_byte:02x}"),
+        _varint_hex(F.length(col).cast("long")),
+        F.lower(F.hex(col)),
+    )
+
+
+def _pb_msg_field(tag_byte: int, body_hex):
+    """Protobuf embedded-message field as hex: tag, varint of the nested
+    message's BYTE length (hex chars / 2), then the nested bytes."""
+    return F.concat(
+        F.lit(f"{tag_byte:02x}"),
+        _varint_hex((F.length(body_hex) / 2).cast("long")),
+        body_hex,
+    )
+
+
+def cdc_encode_canal_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal protobuf sink codec analogue (K5, cdc/sink/codec/canal.go:
+    75-240 buildHeader/buildRowChange over EntryProtocol.proto): a real
+    protobuf wire message — Header{schemaName, tableName, executeTime,
+    eventType-enum} as an embedded message, isDdl varint, repeated
+    Column{index, name, value} embedded messages — framed with the packet's
+    varint length prefix, exactly the tag/varint/length-delimited encoding
+    protoc would emit for this shape. Emitted as hex so an independent
+    engine byte-checks it; every byte from JVM-side expressions (no UDF,
+    no protobuf lib)."""
+    feed = events_as_changefeed(spark, sf_dir)
+    op = F.col("op")
+    # canal EventType enum: INSERT=1, UPDATE=2, DELETE=3
+    etype = F.when(op == "I", 1).when(op == "D", 3).otherwise(2).cast("long")
+    header = F.concat(
+        _pb_str_field(0x0A, F.lit("app")),                      # f1 schemaName
+        _pb_str_field(0x12, F.col("event_type")),               # f2 tableName
+        F.lit("18"), _varint_hex(F.col("commit_ts")),           # f3 executeTime
+        F.lit("20"), _varint_hex(etype),                        # f4 eventType
+    )
+    col0 = F.concat(
+        F.lit("08"), _varint_hex(F.lit(0).cast("long")),        # f1 index
+        _pb_str_field(0x12, F.lit("user_id")),                  # f2 name
+        _pb_str_field(0x1A, F.col("user_id").cast("string")),   # f3 value
+    )
+    col1 = F.concat(
+        F.lit("08"), _varint_hex(F.lit(1).cast("long")),
+        _pb_str_field(0x12, F.lit("value_milli")),
+        _pb_str_field(
+            0x1A, F.round(F.col("value") * 1000).cast("long").cast("string")
+        ),
+    )
+    entry = F.concat(
+        _pb_msg_field(0x0A, header),                            # f1 header
+        F.lit("1000"),                                          # f2 isDdl=false
+        _pb_msg_field(0x1A, col0),                              # f3 columns
+        _pb_msg_field(0x1A, col1),
+    )
+    enc = feed.select(
+        "event_id",
+        F.concat(
+            _varint_hex((F.length(entry) / 2).cast("long")), entry
+        ).alias("wire_hex"),
+    )
+    return enc.withColumn("wire_md5", F.md5("wire_hex"))
+
+
 def cdc_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-statement reduction (A5, reduceReplace cdc/sink/mysql.go:764-797
     + maxTxnRow=256 mysql_params.go:37): within each dispatch bucket, rows in
@@ -620,6 +695,17 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_meta(media)
 
 
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real header decode over synthesized VALID media containers: each
+    doc_id becomes a bmp/png/wav file whose header parameters are pure
+    doc_id arithmetic; the Arrow-batched decoder (struct.unpack over the
+    public format layouts) must recover exactly those values — the oracle
+    predicts them arithmetically without touching bytes, so any writer or
+    parser bug byte-breaks the match."""
+    media = multimodal.synthesize_media(_documents(spark, sf_dir))
+    return multimodal.decode_media_meta(media)
+
+
 QUERIES = {
     "cdc_lww_replay": cdc_lww_replay,
     "cdc_canonical_order": cdc_canonical_order,
@@ -640,6 +726,7 @@ QUERIES = {
     "cdc_encode_maxwell": cdc_encode_maxwell,
     "cdc_encode_canal": cdc_encode_canal,
     "cdc_encode_avro": cdc_encode_avro,
+    "cdc_encode_canal_pb": cdc_encode_canal_pb,
     "cdc_mq_dispatch": cdc_mq_dispatch,
     "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
@@ -656,4 +743,5 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_quality": text_quality,
     "mm_binary_meta": mm_binary_meta,
+    "mm_decode_meta": mm_decode_meta,
 }
