@@ -41,7 +41,9 @@ HEADLINE = [
     "text_fingerprint",
     "mm_binary_meta",
     "mm_decode_meta",
-    "cdc_encode_canal_pb",
+    # encode-codec queries (cdc_encode_*) are excluded like the other wire
+    # codecs: full-corpus hex-string materialization is oracle-evidence, not
+    # a throughput headline
 ]
 
 # sf → synthetic changefeed size (events) for the engine replay leg

@@ -228,3 +228,83 @@ def test_canal_pb_wire_parses_as_protobuf(spark):
             names.append(cf[2])
             int(cf[3]) if cf[2] == b"value_milli" else None
         assert names == [b"user_id", b"value_milli"]
+
+
+def test_craft_wire_round_trips(spark):
+    """cdc_encode_craft emits the craft wire layout for real: an
+    independent reader locates the size tables via the tail's REVERSED
+    uvarint (read backward from the last byte), validates every recorded
+    segment size against the actual layout, and decodes the term
+    dictionary and zigzag-varint column values."""
+    from tiflow_spark.queries import cdc_encode_craft
+
+    def uvar(b, i):
+        v, shift = 0, 0
+        while True:
+            v |= (b[i] & 0x7F) << shift
+            i += 1
+            if not b[i - 1] & 0x80:
+                return v, i
+            shift += 7
+
+    def zig(b, i):
+        u, i = uvar(b, i)
+        return (u >> 1) ^ -(u & 1), i
+
+    rows = cdc_encode_craft(spark, "/root/testdata/sf0.001").limit(5).collect()
+    assert rows
+    for r in rows:
+        b = bytes.fromhex(r["wire_hex"])
+        # tail-first reversed uvarint: read bytes backward as a varint
+        j, v, shift = len(b) - 1, 0, 0
+        while True:
+            v |= (b[j] & 0x7F) << shift
+            shift += 7
+            j -= 1
+            if not b[j + 1] & 0x80:
+                break
+        tables = b[j + 1 - v:j + 1]
+        # size tables: meta [header, dict(delta)], body, column-group
+        i = 0
+        n, i = uvar(tables, i)
+        assert n == 2
+        hsize, i = zig(tables, i)
+        ddelta, i = zig(tables, i)
+        dsize = hsize + ddelta
+        n, i = uvar(tables, i)
+        bsize, i = zig(tables, i)
+        n, i = uvar(tables, i)
+        gsize, i = zig(tables, i)
+        assert i == len(tables) and bsize == gsize
+        assert b[0] == 0x01  # craft Version1
+        assert 1 + hsize + bsize + dsize == j + 1 - v  # layout adds up
+        # term dictionary
+        d = b[1 + hsize + bsize:1 + hsize + bsize + dsize]
+        i = 0
+        cnt, i = uvar(d, i)
+        lens = []
+        for _ in range(cnt):
+            ln, i = uvar(d, i)
+            lens.append(ln)
+        terms = []
+        for ln in lens:
+            terms.append(d[i:i + ln])
+            i += ln
+        assert terms[0] == b"app" and terms[2:] == [b"user_id", b"value_milli"]
+        # column group: type, count, name refs (delta), mysql types, values
+        body = b[1 + hsize:1 + hsize + bsize]
+        i = 0
+        assert body[0] == 0x01
+        ncols, i = uvar(body, 1)
+        r0, i = zig(body, i)
+        rd, i = zig(body, i)
+        assert ncols == 2 and (r0, r0 + rd) == (2, 3)
+        assert body[i:i + 2] == b"\x08\x08"  # TypeLongLong
+        i += 2
+        l0, i = uvar(body, i)
+        l1, i = uvar(body, i)
+        uid, i2 = zig(body, i)
+        assert i2 - i == l0
+        vm, i3 = zig(body, i2)
+        assert i3 - i2 == l1 and i3 == len(body)
+        assert uid >= 0 and vm >= 0

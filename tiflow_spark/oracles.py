@@ -98,6 +98,66 @@ def _canal_pb_sql() -> str:
     )
 
 
+def _zigzag_sql(e: str) -> str:
+    """Zigzag varint of a possibly-negative SQL expr (mirrors
+    queries._zigzag_hex)."""
+    return _avro_varint_sql(
+        f"(CASE WHEN ({e}) >= 0 THEN ({e}) * 2 ELSE -({e}) * 2 - 1 END)"
+    )
+
+
+def _uvarint_rev_sql(v: str) -> str:
+    """Reversed uvarint (mirrors queries._uvarint_rev_hex): same bytes,
+    highest septet first."""
+    parts = []
+    for i in reversed(range(5)):
+        sept = f"((({v}) >> {7 * i}) & 127)"
+        more = f"((({v}) >> {7 * (i + 1)}) > 0)"
+        byte = f"({sept} + CASE WHEN {more} THEN 128 ELSE 0 END)"
+        cond = "TRUE" if i == 0 else f"(({v}) >= {1 << (7 * i)})"
+        parts.append(f"CASE WHEN {cond} THEN printf('%02x', {byte}) ELSE '' END")
+    return " || ".join(parts)
+
+
+def _craft_sql() -> str:
+    """DuckDB mirror of queries.cdc_encode_craft, staged CTEs for sizes."""
+    uv = _avro_varint_sql
+    zz = _zigzag_sql
+    header = " || ".join([
+        uv("1"), uv("commit_ts"),
+        uv("CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END"),
+        zz("0"), zz("1"),
+    ])
+    v0 = zz("user_id")
+    v1 = zz("CAST(round(value * 1000) AS BIGINT)")
+    body = " || ".join([
+        "'01'", uv("2"), zz("2"), zz("1"), "'0808'",
+        uv(f"length({v0}) // 2"), uv(f"length({v1}) // 2"), v0, v1,
+    ])
+    dic = " || ".join([
+        uv("4"), uv("3"), uv("length(event_type)"), uv("7"), uv("11"),
+        "lower(hex('app'))", "lower(hex(event_type))",
+        "lower(hex('user_id'))", "lower(hex('value_milli'))",
+    ])
+    tables = " || ".join([
+        uv("2"), zz("length(header_hex) // 2"),
+        zz("length(dict_hex) // 2 - length(header_hex) // 2"),
+        uv("1"), zz("length(body_hex) // 2"),
+        uv("1"), zz("length(body_hex) // 2"),
+    ])
+    return (
+        "WITH feed AS (" + _FEED + "),\n"
+        "parts AS (SELECT event_id, " + header + " AS header_hex, "
+        + body + " AS body_hex, " + dic + " AS dict_hex FROM feed),\n"
+        "st AS (SELECT event_id, header_hex, body_hex, dict_hex, "
+        + tables + " AS tables_hex FROM parts),\n"
+        "w AS (SELECT event_id, '01' || header_hex || body_hex || dict_hex"
+        " || tables_hex || " + _uvarint_rev_sql("length(tables_hex) // 2")
+        + " AS wire_hex FROM st)\n"
+        "SELECT event_id, wire_hex, md5(wire_hex) AS wire_md5 FROM w"
+    )
+
+
 def _avro_sql() -> str:
     from tiflow_spark.queries import AVRO_SCHEMA_JSON
 
@@ -430,6 +490,7 @@ SELECT event_id, envelope, md5(envelope) AS envelope_md5 FROM enc
 """,
     "cdc_encode_avro": _avro_sql(),
     "cdc_encode_canal_pb": _canal_pb_sql(),
+    "cdc_encode_craft": _craft_sql(),
     "cdc_mq_dispatch": f"""
 WITH feed AS ({_FEED}),
 enc AS (

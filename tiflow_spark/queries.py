@@ -435,6 +435,128 @@ def cdc_encode_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
 
 
+def _zigzag_hex(v):
+    """Craft/protobuf zigzag varint of a possibly-negative long, as hex."""
+    return _varint_hex(F.when(v >= 0, v * 2).otherwise(-v * 2 - 1))
+
+
+def _uvarint_rev_hex(v):
+    """Craft's reversed uvarint (craft/encoder.go:59-75): the same varint
+    bytes emitted highest-septet first, so a reader can parse it BACKWARD
+    from the end of the message to locate the size tables."""
+    parts = []
+    for i in reversed(range(5)):
+        sept = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
+        more = F.shiftright(v, 7 * (i + 1)) > 0
+        byte = sept + F.when(more, F.lit(0x80)).otherwise(F.lit(0))
+        present = F.lit(i == 0) | (v >= F.lit(1 << (7 * i)))
+        parts.append(F.when(present, _hex_byte(byte)).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def _hexlen(h):
+    """Byte length of a hex-string column."""
+    return (F.length(h) / 2).cast("long")
+
+
+def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Craft sink codec analogue (K5, cdc/sink/codec/craft.go +
+    craft/encoder.go:36-183, craft/model.go): TiCDC's columnar binary
+    format rebuilt from its public wire primitives — version uvarint,
+    header chunk, column group (group-type byte, column count, term-dict
+    name refs as a delta zigzag-varint chunk, mysql type bytes,
+    length-prefixed value chunk), the term dictionary, delta-varint size
+    tables, and the reversed-uvarint trailer that lets a reader locate the
+    size tables from the message tail. One row per message (the reference
+    batches rows; the per-row layout is identical). Emitted as hex from
+    pure JVM expressions; the DuckDB oracle recomputes every byte and
+    ``test_craft_wire_round_trips`` parses it back tail-first like the
+    reference decoder."""
+    feed = events_as_changefeed(spark, sf_dir)
+    op = F.col("op")
+    etype = F.when(op == "I", 1).when(op == "D", 3).otherwise(2).cast("long")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    uid = F.col("user_id").cast("long")
+
+    # header: event count, commit_ts / type uvarint chunks, then term-dict
+    # refs for schema ("app"=0) and table (event_type=1) as zigzag varints
+    header = F.concat(
+        _varint_hex(F.lit(1).cast("long")),          # event count
+        _varint_hex(F.col("commit_ts")),
+        _varint_hex(etype),
+        _zigzag_hex(F.lit(0).cast("long")),          # schema dict ref
+        _zigzag_hex(F.lit(1).cast("long")),          # table dict ref
+    )
+    # column group: 0x01 = "new values" group (craft/model.go:31), 2 cols,
+    # name refs as a DELTA zigzag chunk (2, then 3-2), TypeLongLong bytes,
+    # values as a length-prefixed chunk (lengths first, then bytes — the
+    # craft chunk convention, encoder.go:90-98)
+    v0 = _zigzag_hex(uid)
+    v1 = _zigzag_hex(vm)
+    body = F.concat(
+        F.lit("01"),
+        _varint_hex(F.lit(2).cast("long")),
+        _zigzag_hex(F.lit(2).cast("long")),
+        _zigzag_hex(F.lit(1).cast("long")),          # delta to ref 3
+        F.lit("0808"),                               # mysql TypeLongLong x2
+        _varint_hex(_hexlen(v0)),
+        _varint_hex(_hexlen(v1)),
+        v0,
+        v1,
+    )
+    # term dictionary, first-use order: app, <table>, user_id, value_milli
+    # (string chunk: all lengths, then all bytes)
+    tbl = F.col("event_type")
+    dict_hex = F.concat(
+        _varint_hex(F.lit(4).cast("long")),
+        _varint_hex(F.lit(3).cast("long")),
+        _varint_hex(F.length(tbl).cast("long")),
+        _varint_hex(F.lit(7).cast("long")),
+        _varint_hex(F.lit(11).cast("long")),
+        F.lower(F.hex(F.lit("app"))),
+        F.lower(F.hex(tbl)),
+        F.lower(F.hex(F.lit("user_id"))),
+        F.lower(F.hex(F.lit("value_milli"))),
+    )
+    # size tables (encoder.go:177-185): meta [header, dict], body sizes,
+    # column-group sizes — each uvarint(len) + delta zigzag chunk — then
+    # the reversed-uvarint byte length of the tables themselves.
+    # STAGED through selects: the size tables reference the byte lengths of
+    # header/body/dict, and the trailer references the length of the tables
+    # expression itself — inlining those would duplicate each subtree into
+    # every varint septet (5× per reference) and the final plan blows up
+    # exponentially (observed: codegen OOM).  Materializing each part as a
+    # projected column keeps every subtree single-copy; Catalyst's
+    # CollapseProject declines to re-inline multi-referenced non-cheap
+    # aliases, so the staged shape survives optimization.
+    parts = feed.select(
+        "event_id",
+        header.alias("header_hex"),
+        body.alias("body_hex"),
+        dict_hex.alias("dict_hex"),
+    )
+    hlen = _hexlen(F.col("header_hex"))
+    blen = _hexlen(F.col("body_hex"))
+    dlen = _hexlen(F.col("dict_hex"))
+    staged = parts.select(
+        "*",
+        F.concat(
+            _varint_hex(F.lit(2).cast("long")),
+            _zigzag_hex(hlen), _zigzag_hex(dlen - hlen),
+            _varint_hex(F.lit(1).cast("long")), _zigzag_hex(blen),
+            _varint_hex(F.lit(1).cast("long")), _zigzag_hex(blen),
+        ).alias("tables_hex"),
+    )
+    wire = F.concat(
+        F.lit("01"),  # craft Version1
+        F.col("header_hex"), F.col("body_hex"), F.col("dict_hex"),
+        F.col("tables_hex"), _uvarint_rev_hex(_hexlen(F.col("tables_hex"))),
+    )
+    return staged.select(
+        "event_id", wire.alias("wire_hex")
+    ).withColumn("wire_md5", F.md5("wire_hex"))
+
+
 def cdc_mq_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MQ sink dispatch (K4, cdc/sink/mq.go:55-220 +
     dispatcher/partition/index_value.go:36-56): every event routed to its
@@ -727,6 +849,7 @@ QUERIES = {
     "cdc_encode_canal": cdc_encode_canal,
     "cdc_encode_avro": cdc_encode_avro,
     "cdc_encode_canal_pb": cdc_encode_canal_pb,
+    "cdc_encode_craft": cdc_encode_craft,
     "cdc_mq_dispatch": cdc_mq_dispatch,
     "cdc_batch_reduce": cdc_batch_reduce,
     "dedup_exact": dedup_exact,
