@@ -130,13 +130,22 @@ def main() -> None:
     # session warmup: JVM/scheduler init otherwise lands on the first query
     spark.range(1000).groupBy(F.pmod("id", 7)).count().collect()
 
+    # min-of-2 per query, same protocol as the replay leg: trial 0 pays the
+    # one-time whole-stage-codegen compile (observed 20s vs 5s warm on the
+    # widest expression trees), which is a per-query constant, not
+    # throughput — both trials are reported so the cold cost stays visible.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        per = []
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            per.append(round(time.time() - t0, 3))
+        timings[name] = min(per)
+        cold[name] = max(per)
+        print(f"# {name}: {timings[name]}s ({n} rows, trials={per})", file=sys.stderr)
 
     cdc_sec, cdc_extra = bench_cdc_replay(spark, sf, cpus)
     timings["cdc_replay"] = round(cdc_sec, 3)
@@ -148,6 +157,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold_trial": cold,
         "sf": float(sf),
         "cpus": cpus,
         **cdc_extra,

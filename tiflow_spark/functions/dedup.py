@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tiflow_spark.functions.similarity import cosine_expr
+from tiflow_spark.functions import similarity as _similarity
 from tiflow_spark.functions.text import shingles_expr
 
 
@@ -508,14 +508,22 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup pairs, blocked by ``block_col`` (a coarse
     cluster id — here the IVF cell) so the candidate space is per-block
     quadratic, not corpus-quadratic."""
-    a, b = emb.alias("a"), emb.alias("b")
+    # hoist the cast + norm to one projection per VECTOR: the block join is
+    # pair-quadratic, so per-pair work drops from three 128-element
+    # aggregates (dot + both norms) to the dot alone — bit-identical cos,
+    # the hoisted subtrees are unchanged
+    e = _similarity._with_vec(emb, ["vec_id", block_col])
+    a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
                       F.col("a.vec_id") < F.col("b.vec_id")])
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+            F.round(
+                _similarity.dot_expr(F.col("a._demb"), F.col("b._demb"))
+                / (F.col("a._norm") * F.col("b._norm")), 6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

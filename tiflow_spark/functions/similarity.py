@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def dot_expr(da: Column, db: Column) -> Column:
+    """Left-to-right dot product of two double-array columns."""
+    return F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(da: Column) -> Column:
+    """sqrt(sum x²) of a double-array column — the per-vector factor of
+    cosine. Hoist it to a per-row projection ahead of any join that scores
+    many pairs per vector: one aggregate per VECTOR instead of two per PAIR
+    (the pair expression keeps only the dot), with bit-identical results
+    since the hoisted subtree is unchanged."""
+    return F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Double-precision cosine similarity of two float-array columns.
 
@@ -30,10 +46,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
     any sequential re-implementation — deterministic and engine-portable."""
     da = a.cast("array<double>")
     db = b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return dot_expr(da, db) / (norm_expr(da) * norm_expr(db))
+
+
+def _with_vec(df: DataFrame, keep: list, src: str = "embedding",
+              demb: str = "_demb", norm: str = "_norm") -> DataFrame:
+    """Project ``keep`` plus the cast double vector and its hoisted norm."""
+    out = df.select(*keep, F.col(src).cast("array<double>").alias(demb))
+    return out.withColumn(norm, norm_expr(F.col(demb)))
 
 
 def brute_force_topk(
@@ -44,16 +64,19 @@ def brute_force_topk(
     Rank by (rounded cosine desc, neighbor_id asc): rounding first makes the
     ordering stable across engines/parallelism even at near-ties."""
     q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
+        _with_vec(queries, [F.col("vec_id").alias("query_id")],
+                  demb="_qdemb", norm="_qnorm")
     )
+    c = _with_vec(corpus, ["vec_id"])
     scored = (
-        q.join(corpus, F.col("vec_id") != F.col("query_id"))
+        q.join(c, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+            F.round(
+                dot_expr(F.col("_qdemb"), F.col("_demb"))
+                / (F.col("_qnorm") * F.col("_norm")), 6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -93,12 +116,17 @@ def assign_cells(
     probe_rank 1 is the home cell. Codebook is n_cells rows — broadcast;
     the scan side never shuffles."""
     c = F.broadcast(
-        centroids.select(F.col(cell_col).alias("cell"), "centroid")
+        _with_vec(centroids, [F.col(cell_col).alias("cell")], src="centroid",
+                  demb="_cdemb", norm="_cnorm")
     )
-    scored = vectors.crossJoin(c).select(
+    v = _with_vec(vectors, [id_col])
+    scored = v.crossJoin(c).select(
         F.col(id_col),
         "cell",
-        F.round(cosine_expr(F.col("embedding"), F.col("centroid")), 6).alias("_cos"),
+        F.round(
+            dot_expr(F.col("_demb"), F.col("_cdemb"))
+            / (F.col("_norm") * F.col("_cnorm")), 6,
+        ).alias("_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cell"))
     return (
@@ -135,19 +163,23 @@ def ivf_topk_fresh(
         cell_col=cell_col,
     )
     q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        ).join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
+        _with_vec(queries, [F.col("vec_id").alias("query_id")],
+                  demb="_qdemb", norm="_qnorm")
+        .join(probes.withColumnRenamed("vec_id", "query_id"), "query_id")
     )
+    c = _with_vec(corpus, ["vec_id", cell_col])
     scored = (
         q.join(
-            corpus,
+            c,
             (F.col(cell_col) == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+            F.round(
+                dot_expr(F.col("_qdemb"), F.col("_demb"))
+                / (F.col("_qnorm") * F.col("_norm")), 6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -244,21 +276,25 @@ def ivf_topk(
     Returns the same shape as brute_force_topk; recall < 1 by construction
     when a true neighbor lives in another cell — the classic IVF trade."""
     q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col(cell_col).alias("q_cell"),
+        _with_vec(
+            queries,
+            [F.col("vec_id").alias("query_id"), F.col(cell_col).alias("q_cell")],
+            demb="_qdemb", norm="_qnorm",
         )
     )
+    c = _with_vec(corpus, ["vec_id", cell_col])
     scored = (
         q.join(
-            corpus,
+            c,
             (F.col(cell_col) == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+            F.round(
+                dot_expr(F.col("_qdemb"), F.col("_demb"))
+                / (F.col("_qnorm") * F.col("_norm")), 6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
