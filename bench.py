@@ -89,8 +89,13 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
     ChangefeedEngine(os.path.join(feed_dir, "log"),
                      LakeTable(target, num_buckets=max(cpus, 16))
                      ).read_log(spark).count()
+    spark.read.parquet(base_fp).count()
+    # min-of-3: trial 0 pays codegen compile, trial 1 often still pays JVM
+    # C2 JIT on the merge path (measured 9.6s -> 6.7s -> 6.3s settling) —
+    # one-shot runs under-report throughput with only 2 trials
+    n_trials = int(os.environ.get("BENCH_CDC_TRIALS", "3"))
     trials, boots = [], []
-    for _ in range(2):
+    for _ in range(n_trials):
         shutil.rmtree(target, ignore_errors=True)
         table = LakeTable(target, num_buckets=max(cpus, 16))
         engine = ChangefeedEngine(os.path.join(feed_dir, "log"), table)
@@ -107,7 +112,7 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
         "cdc_replay_events_per_sec": round(total / elapsed, 1),
         "cdc_replay_epochs": len(stats.epochs),
         # per-trial: trial 0 is the page-cache-warm-but-codegen-cold run;
-        # headline replay = min-of-2 (protocol noted in BENCH.md)
+        # headline replay = min over trials (protocol noted in BENCH.md)
         "cdc_bootstrap_sec": round(min(boots), 3),
         "cdc_bootstrap_trials": [round(x, 3) for x in boots],
         "cdc_replay_trials": [round(x, 3) for x in trials],

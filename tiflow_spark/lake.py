@@ -115,25 +115,22 @@ class LakeTable:
         return True
 
     # ----------------------------------------------------------------- write
-    def _write_data(self, df: DataFrame, schema_version: int) -> list[dict]:
-        """Write a bucketed snapshot fragment; return manifest file entries."""
-        commit_id = uuid.uuid4().hex
-        out = os.path.join(self.path, "data", commit_id)
-        if BUCKET_COL not in df.columns:
-            df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
-        # write parallelism is NOT capped at the bucket count, but the salt
-        # is *within-bucket*: each bucket splits into at most
-        # ceil(cores / num_buckets) sub-partitions, so files per commit stay
-        # ~= max(cores, num_buckets). Hashing on the raw key instead (the
-        # round-2 regression) scattered every bucket across every task —
-        # tasks × buckets files per commit (32 → 1024 measured), a
-        # small-file/metadata explosion that at 1000 buckets × 1000 tasks
-        # would mean 10^6 files per epoch. On a wide cluster
-        # ceil(cores/buckets) > 1 still splits each hot bucket; at
-        # cores == buckets the salt is constant and partitioning degenerates
-        # to pure bucket hashing (one file per bucket).
+    def _write_partitioning(self, spark_df: DataFrame):
+        """(n_tasks, within-bucket salt expr) for snapshot writes.
+
+        Write parallelism is NOT capped at the bucket count, but the salt
+        is *within-bucket*: each bucket splits into at most
+        ceil(cores / num_buckets) sub-partitions, so files per commit stay
+        ~= max(cores, num_buckets). Hashing on the raw key instead (the
+        round-2 regression) scattered every bucket across every task —
+        tasks × buckets files per commit (32 → 1024 measured), a
+        small-file/metadata explosion that at 1000 buckets × 1000 tasks
+        would mean 10^6 files per epoch. On a wide cluster
+        ceil(cores/buckets) > 1 still splits each hot bucket; at
+        cores == buckets the salt is constant and partitioning degenerates
+        to pure bucket hashing (one file per bucket)."""
         try:
-            cores = df.sparkSession.sparkContext.defaultParallelism
+            cores = spark_df.sparkSession.sparkContext.defaultParallelism
         except Exception:  # Spark Connect
             cores = self.num_buckets
         n_tasks = max(self.num_buckets, cores)
@@ -142,12 +139,26 @@ class LakeTable:
             F.xxhash64(*[F.col(c) for c in self.key_cols], F.lit(77)),
             F.lit(splits_per_bucket),
         )
-        (
-            df.repartition(n_tasks, F.col(BUCKET_COL), salt)
-            .write.partitionBy(BUCKET_COL)
-            .mode("error")
-            .parquet(out)
-        )
+        return n_tasks, salt
+
+    def _write_data(
+        self, df: DataFrame, schema_version: int, pre_partitioned: bool = False
+    ) -> list[dict]:
+        """Write a bucketed snapshot fragment; return manifest file entries.
+
+        ``pre_partitioned``: the caller already clustered ``df`` by
+        (bucket, within-bucket salt) — e.g. merge()'s single-exchange LWW
+        pick, whose grouping keys start with exactly that pair — so the
+        write-side repartition would be a redundant full shuffle of the
+        snapshot (explicit repartitions are never elided by Catalyst)."""
+        commit_id = uuid.uuid4().hex
+        out = os.path.join(self.path, "data", commit_id)
+        if BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
+        if not pre_partitioned:
+            n_tasks, salt = self._write_partitioning(df)
+            df = df.repartition(n_tasks, F.col(BUCKET_COL), salt)
+        df.write.partitionBy(BUCKET_COL).mode("error").parquet(out)
         entries = []
         for root, _dirs, files in os.walk(out):
             base = os.path.basename(root)
@@ -398,17 +409,69 @@ class LakeTable:
                     "schema_version": cur_version,
                 },
             )
-            # keys present in changes (upsert or delete) are replaced/removed;
-            # changes is one-row-per-key by contract → no distinct needed
-            survivors = existing.join(
-                changes.select(*self.key_cols),
-                on=self.key_cols,
-                how="left_anti",
-            ).withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
-            new_data = survivors.unionByName(upserts)
+            strategy = os.environ.get("TIFLOW_MERGE_STRATEGY", "agg")
+            if strategy == "join":
+                # anti-join form: exchange snapshot by key + SMJ/SHJ, then
+                # _write_data re-exchanges the union by (bucket, salt)
+                survivors = existing.join(
+                    changes.select(*self.key_cols),
+                    on=self.key_cols,
+                    how="left_anti",
+                ).withColumn(
+                    BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+                )
+                new_data = survivors.unionByName(upserts)
+                new_files = self._write_data(new_data, cur_version)
+            else:
+                # Single-exchange MERGE (default): bucket and salt are pure
+                # functions of the key, so ONE repartition on (bucket, salt)
+                # co-locates every key's rows AND is exactly the clustering
+                # the snapshot write needs. The LWW pick then runs in place —
+                # grouping on (bucket, salt, *keys) is satisfied by the
+                # subset partitioning (rows equal on all grouping keys are
+                # equal on bucket/salt) — replacing the former anti-join (one
+                # exchange of the snapshot by key) + write repartition (a
+                # second full exchange of the union) with a single exchange
+                # of snapshot + changes. ≤ 2 rows per key (changes is
+                # one-row-per-key by contract, the snapshot holds one row per
+                # key), and the epoch's row always wins via max_by on the
+                # priority flag; 'D' winners erase the key.
+                ch = changes.select(
+                    *self.key_cols, "op", *payload_names, BUCKET_COL
+                ).withColumn("_prio", F.lit(1))
+                ex = (
+                    existing.select(*self.key_cols, *payload_names)
+                    .withColumn("op", F.lit("E"))
+                    .withColumn(
+                        BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets)
+                    )
+                    .withColumn("_prio", F.lit(0))
+                )
+                unioned = ex.unionByName(ch)
+                n_tasks, salt = self._write_partitioning(unioned)
+                winner = (
+                    unioned.withColumn("_salt", salt)
+                    .repartition(n_tasks, F.col(BUCKET_COL), F.col("_salt"))
+                    .groupBy(BUCKET_COL, "_salt", *self.key_cols)
+                    .agg(
+                        F.max_by(
+                            F.struct("op", *payload_names), F.col("_prio")
+                        ).alias("_w")
+                    )
+                )
+                new_data = (
+                    winner.filter(F.col("_w.op") != "D")
+                    .select(
+                        *self.key_cols,
+                        *[F.col(f"_w.{c}").alias(c) for c in payload_names],
+                        BUCKET_COL,
+                    )
+                )
+                new_files = self._write_data(
+                    new_data, cur_version, pre_partitioned=True
+                )
         else:
-            new_data = upserts
-        new_files = self._write_data(new_data, cur_version)
+            new_files = self._write_data(upserts, cur_version)
 
         lineage = list(m.get("lineage", []))
         for ln in lineage_rows or []:

@@ -36,8 +36,9 @@ CHECKS = {
     # pure projection over a broadcast 1-row registry: zero hash exchanges
     "cdc_encode_avro": ["BroadcastExchange"],
     "cdc_replay_plan": ["partial_max", "hashpartitioning"],
-    # CoW merge: survivors = LeftAnti against the epoch's touched keys
-    "merge_write_plan": ["LeftAnti"],
+    # CoW merge: single (bucket, salt) exchange, LWW pick runs in place on
+    # the subset partitioning — no join, no second exchange before the write
+    "merge_write_plan": ["max_by", "hashpartitioning(_bucket"],
 }
 
 
@@ -79,6 +80,7 @@ def main() -> None:
     from tiflow_spark.registry import SchemaRegistry
     from pyspark.sql import functions as F
 
+    failures_extra = []
     tmp = tempfile.mkdtemp(prefix="plans_")
     try:
         generate_changefeed(tmp, n_convs=20, turns_per_conv=4, n_changes=500,
@@ -97,23 +99,53 @@ def main() -> None:
         changes = changes.withColumn(BUCKET_COL, bucket_expr(list(KEY_COLS), 4))
         plans["cdc_replay_plan"] = plan_of(changes)
 
-        # the CoW merge write: survivors (anti-join vs touched keys, bucket
-        # pruned) ∪ upserts — what _write_data materializes per epoch
+        # the CoW merge write: snapshot ∪ changes through ONE (bucket, salt)
+        # exchange, LWW max_by pick in place (subset partitioning satisfies
+        # the (bucket, salt, *keys) grouping) — what _write_data
+        # materializes per epoch with pre_partitioned=True
         eng.bootstrap(spark, os.path.join(tmp, "base", "transcripts.parquet"))
         m = eng.table.current_manifest()
         existing = eng.table.read(spark, m)
         payload_names = [f.name for f in reg.current.fields]
-        upserts = changes.filter(F.col("op") != "D").select(
-            *KEY_COLS, *payload_names, BUCKET_COL
+        ch = changes.select(
+            *KEY_COLS, "op", *payload_names, BUCKET_COL
+        ).withColumn("_prio", F.lit(1))
+        ex = (
+            existing.select(*KEY_COLS, *payload_names)
+            .withColumn("op", F.lit("E"))
+            .withColumn(BUCKET_COL, bucket_expr(list(KEY_COLS), 4))
+            .withColumn("_prio", F.lit(0))
         )
-        survivors = existing.join(
-            changes.select(*KEY_COLS), on=list(KEY_COLS), how="left_anti"
-        ).withColumn(BUCKET_COL, bucket_expr(list(KEY_COLS), 4))
-        plans["merge_write_plan"] = plan_of(survivors.unionByName(upserts))
+        unioned = ex.unionByName(ch)
+        n_tasks, salt = eng.table._write_partitioning(unioned)
+        winner = (
+            unioned.withColumn("_salt", salt)
+            .repartition(n_tasks, F.col(BUCKET_COL), F.col("_salt"))
+            .groupBy(BUCKET_COL, "_salt", *KEY_COLS)
+            .agg(F.max_by(F.struct("op", *payload_names), F.col("_prio")).alias("_w"))
+        )
+        new_data = winner.filter(F.col("_w.op") != "D").select(
+            *KEY_COLS,
+            *[F.col(f"_w.{c}").alias(c) for c in payload_names],
+            BUCKET_COL,
+        )
+        plans["merge_write_plan"] = plan_of(new_data)
+        # the single-exchange claim, checked mechanically: exactly 2
+        # exchanges in the whole epoch pipeline — the upstream key-hash fold
+        # shuffle (shared with the replay hot path / lineage agg) and the
+        # ONE (bucket, salt) repartition; nothing between the union, the LWW
+        # agg, and the write
+        mw = plans["merge_write_plan"]
+        n_hash_ex = len(re.findall(r"\(\d+\) Exchange", mw))
+        if n_hash_ex != 2:
+            failures_extra.append(
+                f"merge_write_plan: expected exactly 2 exchanges "
+                f"(fold + write clustering), got {n_hash_ex}"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    failures = []
+    failures = list(failures_extra)
     out = ["# PLANS — physical-plan evidence",
            "",
            "Generated by `tools/explain_plans.py` (sf_dir=%s). What to look" % sf_dir,
