@@ -133,3 +133,108 @@ def test_truncate_with_empty_tail_then_resume(spark, tmp_path):
     got2 = eng2.final_state(spark).toPandas()
     assert_tables_equal(got2, sequential_apply(base_fp, log_dir))
     assert set(got2["conv_id"]) == {"cA"}
+
+
+PART_BASE = [("b1", 0, "user", "low turn", None, "2024-01-01T00:00:00"),
+             ("b2", 7, "user", "high turn", None, "2024-01-01T00:00:01")]
+
+
+def test_truncate_partition_mid_stream(spark, tmp_path):
+    """DROP/TRUNCATE PARTITION (cdc/entry/schema_storage.go:632-636): rows
+    whose key falls in the partition predicate are wiped at the DDL's
+    commit_ts — including rows already committed to the lake in an earlier
+    epoch (the full-CoW delete path) — while out-of-partition rows and
+    post-cut inserts into the range survive."""
+    events = [
+        # epoch 1: one row lands in the doomed range, one outside it
+        ev(0, "I", 101, "c3", 7, pl("pre in range")),
+        ev(1, "I", 102, "c4", 1, pl("pre out of range")),
+        ev(2, "R", 103),
+        # epoch 2: same-ts DML applies first (ordering contract), then wiped
+        ev(3, "U", 104, "c3", 7, pl("wiped at cut ts")),
+        ev(4, "DDL", 104, ddl={"action": "truncate_partition",
+                               "where": "turn_idx >= 5"}),
+        ev(5, "I", 105, "c5", 9, pl("post-cut in range survivor")),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, PART_BASE)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    stats = eng.run(spark, barrier_stride=1)
+    assert len(stats.epochs) == 2
+    got = eng.final_state(spark).toPandas()
+    assert_tables_equal(got, sequential_apply(base_fp, log_dir))
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    # b2 (base, turn 7) and c3 (epoch-1 commit + cut-ts update) wiped;
+    # b1/c4 out of range; c5 inserted after the cut into the range survives
+    assert keys == {("b1", 0), ("c4", 1), ("c5", 9)}
+
+
+def test_drop_partition_then_resume(spark, tmp_path):
+    """The cut is durable: a fresh engine resuming from the committed
+    checkpoint does not resurrect dropped-partition rows, and later events
+    re-populate the range normally."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.helpers import EVENT_COLS
+
+    events = [
+        ev(0, "I", 101, "c3", 8, pl("doomed")),
+        ev(1, "DDL", 102, ddl={"action": "drop_partition",
+                               "where": "turn_idx >= 5"}),
+        ev(2, "R", 103),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, PART_BASE,
+                                  control_sidecar=False)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark)
+    got = eng.final_state(spark).toPandas()
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {("b1", 0)}
+
+    tail = [ev(3, "I", 110, "cA", 6, pl("range reborn")), ev(4, "R", 110)]
+    pq.write_table(
+        pa.Table.from_pylist(tail, schema=pa.schema(EVENT_COLS)),
+        os.path.join(log_dir, "changefeed-00001.parquet"),
+    )
+    eng2 = ChangefeedEngine(log_dir, table)
+    eng2.run(spark)
+    got2 = eng2.final_state(spark).toPandas()
+    assert_tables_equal(got2, sequential_apply(base_fp, log_dir))
+    assert set(zip(got2["conv_id"], got2["turn_idx"])) == {("b1", 0), ("cA", 6)}
+
+
+def test_add_partition_metadata_only(spark, tmp_path):
+    """ADD PARTITION is metadata-only: a registry version bump (complete DDL
+    history) with zero data effect."""
+    events = [
+        ev(0, "I", 101, "c3", 3, pl("kept")),
+        ev(1, "DDL", 102, ddl={"action": "add_partition",
+                               "name": "p2024h2"}),
+        ev(2, "I", 103, "c4", 8, pl("lands in the new range")),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, PART_BASE)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark)
+    got = eng.final_state(spark).toPandas()
+    assert_tables_equal(got, sequential_apply(base_fp, log_dir))
+    assert len(got) == 4  # b1, b2, c3, c4 — nothing wiped
+
+
+def test_partition_cut_requires_where():
+    """drop/truncate_partition without a predicate is a malformed DDL."""
+    import pytest
+
+    from tiflow_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry.initial()
+    with pytest.raises(ValueError, match="where"):
+        reg.apply_ddl({"action": "drop_partition"}, 100)
+    with pytest.raises(ValueError, match="where"):
+        reg.apply_ddl({"action": "truncate_partition", "where": ""}, 100)

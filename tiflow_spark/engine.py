@@ -436,6 +436,7 @@ class ChangefeedEngine:
             )
         applied_ddls = 0
         truncate_ts = None
+        partition_cuts: list[tuple[int, str]] = []
         for r in ddl_rows:
             d = json.loads(r["ddl"])
             if d.get("action") not in REPLICABLE_DDL_ACTIONS:
@@ -446,6 +447,13 @@ class ChangefeedEngine:
                 # wiped (DML at the truncate's own ts applies first per the
                 # ordering contract, then is wiped with the rest)
                 truncate_ts = r["commit_ts"]
+                # partition cuts at/before the full truncate are subsumed
+                partition_cuts = []
+            elif d["action"] in ("drop_partition", "truncate_partition"):
+                # partial tombstone over a key-column predicate
+                # (cdc/entry/schema_storage.go:632-636 partition swap):
+                # rows matching the predicate at/before this ts are wiped
+                partition_cuts.append((r["commit_ts"], d["where"]))
             applied_ddls += 1
         target_version = registry.version_at_barrier(barrier_ts).version
 
@@ -466,6 +474,13 @@ class ChangefeedEngine:
             # pre-truncate events cannot survive — drop them before the fold
             # (pushdown: the predicate reaches the scan)
             dml = dml.filter(F.col("commit_ts") > truncate_ts)
+        for cut_ts, cut_where in partition_cuts:
+            # events at/before the cut whose key falls in the dropped
+            # partition cannot survive; the predicate is over key columns,
+            # which are top-level log columns, so it stays in the scan
+            dml = dml.filter(
+                ~((F.col("commit_ts") <= cut_ts) & F.expr(cut_where))
+            )
         folded = compact_changes(
             dml, KEY_COLS, ["payload", "schema_version"], stats=True
         )
@@ -512,6 +527,14 @@ class ChangefeedEngine:
             # merge its own distinct-collect job over the folded set
             affected_buckets=[r["bucket"] for r in lineage_rows],
             truncate=truncate_ts is not None,
+            # pre-existing lake rows all predate every cut in the slice, so
+            # each cut's predicate applies to all of them (when the epoch
+            # also carries a full truncate the old rows are wiped anyway)
+            delete_where=(
+                " OR ".join(f"({w})" for _, w in partition_cuts)
+                if partition_cuts and truncate_ts is None
+                else None
+            ),
             syncpoint=syncpoint,
         )
         return EpochStats(

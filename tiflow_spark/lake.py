@@ -345,6 +345,7 @@ class LakeTable:
         affected_buckets: list[int] | None = None,
         checkpoint_seq: int | None = None,
         truncate: bool = False,
+        delete_where: str | None = None,
         syncpoint: bool = False,
     ) -> bool:
         """Epoch MERGE: LWW upsert + delete, copy-on-write per bucket.
@@ -353,6 +354,14 @@ class LakeTable:
         existing row is dropped (no bucket is kept, no survivors are read)
         and only the post-truncate upserts land
         (cdc/entry/schema_storage.go:619-631 tombstone analogue).
+
+        ``delete_where``: the epoch carried DROP/TRUNCATE PARTITION — a SQL
+        predicate over the key columns; existing rows matching it are
+        dropped (cdc/entry/schema_storage.go:632-636 partition-swap
+        analogue). Every bucket is read and rewritten (a key predicate can
+        hash anywhere), a full CoW pass — acceptable for a rare DDL epoch;
+        at cluster scale this is one extra snapshot-sized write, the same
+        cost the reference pays as row-by-row partition DELETEs downstream.
 
         ``changes`` must hold exactly one row per key: the key columns, an
         ``op`` column ('D' = delete, anything else = upsert), and the payload
@@ -388,6 +397,10 @@ class LakeTable:
         affected_set = set(affected)
         if truncate:
             keep_files, read_files = [], []  # wipe: nothing kept, nothing read
+        elif delete_where is not None:
+            # partition cut: every bucket may hold matching rows — read and
+            # rewrite the whole snapshot, keep nothing as-is
+            keep_files, read_files = [], list(m["files"])
         else:
             keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
             read_files = [e for e in m["files"] if e["bucket"] in affected_set]
@@ -409,6 +422,9 @@ class LakeTable:
                     "schema_version": cur_version,
                 },
             )
+            if delete_where is not None:
+                # key-column predicate → stays in the parquet scan (pushdown)
+                existing = existing.filter(~F.expr(delete_where))
             strategy = os.environ.get("TIFLOW_MERGE_STRATEGY", "agg")
             if strategy == "join":
                 # anti-join form: exchange snapshot by key + SMJ/SHJ, then

@@ -102,6 +102,12 @@ REPLICABLE_DDL_ACTIONS = (
     "rename_column",
     "modify_column",
     "truncate_table",
+    # partition actions (cdc/entry/schema_storage.go:632-636): the source
+    # system requires partitioning columns to be part of every unique key,
+    # so the partition is identified by a predicate over the KEY columns
+    "add_partition",
+    "drop_partition",
+    "truncate_partition",
 )
 
 

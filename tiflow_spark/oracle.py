@@ -64,6 +64,23 @@ def _coerce(v, typ: str):
     return v
 
 
+def _keys_matching(keys, where: str) -> list[tuple]:
+    """Keys whose (conv_id, turn_idx) satisfy the partition predicate.
+
+    Evaluated through DuckDB so the oracle's predicate semantics are real
+    SQL, independently of the engine's Catalyst evaluation."""
+    import duckdb
+
+    rows = list(keys)
+    if not rows:
+        return []
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx"])
+    hit = duckdb.sql(
+        f"SELECT conv_id, turn_idx FROM df WHERE {where}"
+    ).fetchall()
+    return [tuple(r) for r in hit]
+
+
 def sequential_apply(
     base_parquet: str,
     log_dir_or_file: str,
@@ -113,6 +130,12 @@ def sequential_apply(
                 registry.apply_ddl(d, cts)
                 if d["action"] == "truncate_table":
                     state.clear()  # tombstone: schema kept, rows wiped
+                elif d["action"] in ("drop_partition", "truncate_partition"):
+                    # partial tombstone: drop keys matching the partition
+                    # predicate (evaluated by DuckDB so the oracle's SQL
+                    # semantics match the engine's F.expr exactly)
+                    for key in _keys_matching(state.keys(), d["where"]):
+                        state.pop(key, None)
             continue
         key = (ev["conv_id"], ev["turn_idx"])
         if op == "D":

@@ -176,6 +176,24 @@ class SchemaRegistry:
             # fields so the DDL history / as-of timeline stays complete; the
             # engine wipes data when it sees the action.
             pass
+        elif action == "add_partition":
+            # metadata-only (cdc/entry/schema_storage.go:632-636 swaps
+            # physical partition ids under the logical table; downstream the
+            # new range simply starts accepting rows). Version bump keeps the
+            # DDL history complete; no data effect.
+            pass
+        elif action in ("drop_partition", "truncate_partition"):
+            # partial tombstone: rows in the partition are wiped at the DDL's
+            # commit_ts, schema kept. The partition is identified by a SQL
+            # predicate over the KEY columns ({"where": "turn_idx >= 8"}) —
+            # faithful to the source system's rule that partitioning columns
+            # must be part of every unique key, and evaluable on the log
+            # envelope without decoding payloads. The engine applies the cut.
+            if not ddl.get("where") or not isinstance(ddl["where"], str):
+                raise ValueError(
+                    f"{action}: requires a non-empty 'where' predicate over "
+                    "the key columns identifying the partition"
+                )
         else:
             raise ValueError(f"unsupported DDL action: {action}")
         nv = SchemaVersion(
