@@ -275,3 +275,52 @@ def test_kmeans_recovers_clusters_and_fresh_dedup(spark):
         for r in embedding_dup_pairs_fresh(emb, threshold=0.9, k=3).collect()
     )
     assert fresh == want and len(want) > 100
+
+
+def test_incremental_minhash_matches_full_restricted(docs):
+    """new×(base∪new) pairs must equal the full-corpus pair set restricted
+    to pairs touching the batch — and never contain a base×base pair."""
+    new = docs.filter(F.col("doc_id").isin(0, 4))
+    base = docs.filter(~F.col("doc_id").isin(0, 4))
+    inc = {(r["doc_a"], r["doc_b"]): r["matching_minhashes"]
+           for r in dedup.incremental_minhash_pairs(base, new).collect()}
+    full = {(r["doc_a"], r["doc_b"]): r["matching_minhashes"]
+            for r in dedup.minhash_lsh_pairs(docs).collect()}
+    expected = {k: v for k, v in full.items() if k[0] in (0, 4) or k[1] in (0, 4)}
+    assert inc == expected
+    assert all(a in (0, 4) or b in (0, 4) for a, b in inc)
+
+
+def test_minhash_index_persist_and_match(spark, docs, tmp_path):
+    """Index the base corpus, then match an arriving batch containing an
+    exact dup of an indexed doc and a dup of another batch doc."""
+    idx_path = str(tmp_path / "mh_index")
+    base = docs.filter(F.col("doc_id") <= 3)
+    idx = dedup.MinHashIndex(idx_path, k=16, bands=4, n=3)
+    idx.add(base)
+
+    base_text = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    batch = spark.createDataFrame(
+        [(10, base_text), (11, "fresh unseen content nothing like it"),
+         (12, "fresh unseen content nothing like it")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["matching_minhashes"]
+             for r in idx.match(spark, batch).collect()}
+    assert pairs[(0, 10)] == 16      # batch vs indexed corpus
+    assert pairs[(1, 10)] == 16      # 1 is an exact dup of 0 in the index
+    assert pairs[(11, 12)] == 16     # intra-batch dup
+    assert all(a >= 10 or b >= 10 for a, b in pairs)  # never base×base
+
+    # reopen: parameters come from the meta file, appends accumulate
+    idx2 = dedup.MinHashIndex(idx_path)
+    assert (idx2.k, idx2.bands, idx2.n) == (16, 4, 3)
+    idx2.add(batch)
+    assert idx2.banded(spark).select("doc_id").distinct().count() == 7
+
+    # intra-batch matching can be turned off: only corpus hits remain
+    only_corpus = dedup.MinHashIndex(idx_path + "_b", k=16, bands=4, n=3)
+    only_corpus.add(base)
+    p2 = {(r["doc_a"], r["doc_b"])
+          for r in only_corpus.match(spark, batch, include_intra_batch=False).collect()}
+    assert (11, 12) not in p2 and (0, 10) in p2

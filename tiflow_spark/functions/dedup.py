@@ -253,6 +253,57 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     return hashed.select("doc_id", *cols)
 
 
+def minhash_banded(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3) -> DataFrame:
+    """Signature rows exploded to one row per (doc, band):
+    (doc_id, mh0..mh{k-1}, band_idx, band_hash). This IS the LSH index
+    relation — persist it keyed on (band_idx, band_hash) and near-dup
+    lookup becomes an equi-join."""
+    rows = k // bands
+    sig = minhash_signatures(docs, k, n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(k)],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bnd"),
+    ).select("doc_id", *[f"mh{i}" for i in range(k)], "bnd.band_idx", "bnd.band_hash")
+
+
+def _pairs_from_banded(left: DataFrame, right: DataFrame, k: int) -> DataFrame:
+    """Candidate pairs from two banded relations: equi-join on the band key,
+    canonicalize (doc_a < doc_b), estimate Jaccard from full-signature
+    agreement. The mh-equality columns are symmetric, so a pair surfacing in
+    both orientations (or via several bands) collapses in the distinct."""
+    cand = (
+        left.alias("a")
+        .join(right.alias("b"), ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
+                for i in range(k)
+            ],
+        )
+        .distinct()
+    )
+    match_count = sum(F.col(f"eq{i}") for i in range(k))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        match_count.cast("int").alias("matching_minhashes"),
+        (match_count / F.lit(float(k))).alias("est_jaccard"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3
 ) -> DataFrame:
@@ -264,44 +315,32 @@ def minhash_lsh_pairs(
     regardless of document length: the shuffle volume at 100 TB is
     O(docs × bands × 16 bytes), not O(corpus text).
     """
-    rows = k // bands
-    sig = minhash_signatures(docs, k, n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(k)],
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bnd"),
-    ).select("doc_id", *[f"mh{i}" for i in range(k)], "bnd.band_idx", "bnd.band_hash")
+    banded = minhash_banded(docs, k, bands, n)
+    return _pairs_from_banded(banded, banded, k)
 
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_idx", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[
-                (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int").alias(f"eq{i}")
-                for i in range(k)
-            ],
-        )
-        .distinct()  # a pair may share several bands
-    )
-    match_count = sum(F.col(f"eq{i}") for i in range(k))
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        match_count.cast("int").alias("matching_minhashes"),
-        (match_count / F.lit(float(k))).alias("est_jaccard"),
-    )
+
+def incremental_minhash_pairs(
+    base: DataFrame, new: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against an already-ingested BASE corpus plus itself, without ever
+    re-pairing base×base — the ingest-time dedup step of a training-data
+    pipeline, where each arriving batch must be checked against everything
+    already accepted.
+
+    Cost is O(batch), not O(corpus): the base side contributes only its
+    banded signature relation (the LSH index — 16 ints + a band key per
+    doc·band, built once and in practice persisted via ``MinHashIndex``),
+    and the join probes it with the batch's band keys. At 100 TB the index
+    is stored bucketed on (band_idx, band_hash), so the corpus side never
+    re-shuffles — only the new batch (small by construction) is hashed,
+    exploded, and exchanged. Returns the same shape as
+    ``minhash_lsh_pairs`` restricted to pairs with ≥1 new document:
+    new×base ∪ new×new, never base×base.
+    """
+    banded_new = minhash_banded(new, k, bands, n)
+    banded_all = minhash_banded(base, k, bands, n).unionByName(banded_new)
+    return _pairs_from_banded(banded_new, banded_all, k)
 
 
 SIMHASH_BITS = 64
@@ -527,3 +566,71 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+class MinHashIndex:
+    """Persisted LSH index over the banded-signature relation — the
+    ingest-time incarnation of ``incremental_minhash_pairs``.
+
+    Layout: ``<path>/banded/`` parquet partitioned by ``band_idx`` (one
+    append per ingested batch), ``<path>/_index_meta.json`` pinning
+    (k, bands, n) so every future batch hashes with the exact parameters
+    the index was built with (a k or n drift would silently miss dups).
+
+    Scale: the index holds k ints + a 32-char band hash per doc·band —
+    ~200 bytes/doc at k=16/bands=4 — so a 100 TB corpus of 100 B docs
+    indexes into ~20 TB of signatures, and each arriving batch probes it
+    with an equi-join on (band_idx, band_hash). Partitioning by band_idx
+    prunes 1/bands of the index per probe side; on a warehouse deployment
+    the relation would additionally be stored bucketed on band_hash so the
+    probe join never re-shuffles the index (only the new batch exchanges).
+    ``add`` is append-only: ingesting a batch never rewrites prior
+    signatures.
+    """
+
+    META = "_index_meta.json"
+
+    def __init__(self, path: str, k: int = 16, bands: int = 4, n: int = 3):
+        import json
+        import os
+
+        self.path = path
+        self._banded_dir = os.path.join(path, "banded")
+        meta_p = os.path.join(path, self.META)
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            self.k, self.bands, self.n = meta["k"], meta["bands"], meta["n"]
+        else:
+            os.makedirs(path, exist_ok=True)
+            self.k, self.bands, self.n = k, bands, n
+            tmp = meta_p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"k": k, "bands": bands, "n": n}, f)
+            os.rename(tmp, meta_p)
+
+    def add(self, docs: DataFrame) -> None:
+        """Hash + band a batch and append it to the index."""
+        minhash_banded(docs, self.k, self.bands, self.n).write.partitionBy(
+            "band_idx"
+        ).mode("append").parquet(self._banded_dir)
+
+    def banded(self, spark) -> DataFrame:
+        import os
+
+        if not os.path.exists(self._banded_dir):
+            raise FileNotFoundError(f"empty index at {self.path} — add() first")
+        return spark.read.parquet(self._banded_dir)
+
+    def match(
+        self, spark, new_docs: DataFrame, include_intra_batch: bool = True
+    ) -> DataFrame:
+        """Near-dup pairs between ``new_docs`` and everything indexed
+        (plus, by default, within the batch itself). The caller decides
+        what to do with matches — typically drop the new duplicates, then
+        ``add()`` the survivors."""
+        banded_new = minhash_banded(new_docs, self.k, self.bands, self.n)
+        right = self.banded(spark)
+        if include_intra_batch:
+            right = right.unionByName(banded_new)
+        return _pairs_from_banded(banded_new, right, self.k)

@@ -203,7 +203,7 @@ _JACCARD_CTES = f"""{_SHINGLES},
 """
 
 
-def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+def _minhash_sql(k: int = 16, bands: int = 4, pair_pred: str = "") -> str:
     # identical hash family as the Spark side — parameters imported from the
     # implementation so the two can never drift
     from tiflow_spark.functions.dedup import MINHASH_P, minhash_params
@@ -244,7 +244,7 @@ cand AS (
       {eqs}
   FROM banded a
   JOIN banded b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id)
+              AND a.doc_id < b.doc_id{pair_pred})
 SELECT doc_a, doc_b, CAST({esum} AS INTEGER) AS matching_minhashes,
        ({esum}) / 16.0 AS est_jaccard
 FROM cand
@@ -550,6 +550,14 @@ SELECT doc_id, cluster_id,
 FROM assigned
 """,
     "dedup_minhash_lsh": _minhash_sql(),
+    # incremental ingest dedup: same hash family / banding as the full run,
+    # restricted to pairs touching the arriving batch (doc_id % 10 == 0) —
+    # the batch-vs-corpus pair set equals the full pair set filtered to
+    # batch-touching pairs, which is exactly what the Spark side computes
+    # without ever re-pairing base×base
+    "dedup_incremental": _minhash_sql(
+        pair_pred=" AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)"
+    ),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding": f"""
 SELECT vec_a, vec_b, cos FROM (

@@ -746,6 +746,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), k=16, bands=4, n=3)
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: documents with doc_id % 10 == 0 play the
+    arriving batch, the rest the already-indexed corpus. The batch is
+    matched against the corpus' LSH index plus itself — base×base is never
+    re-paired, so per-batch cost is O(batch), not O(corpus). Same pair
+    shape as dedup_minhash_lsh restricted to pairs touching the batch."""
+    docs = _documents(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_minhash_pairs(base, new, k=16, bands=4, n=3)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: pairs → connected components →
     keep/drop per document (the step that actually dedups at 100 TB: the
@@ -855,6 +867,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
