@@ -522,6 +522,23 @@ SELECT bucket, CAST((rn - 1) // 256 AS INTEGER) AS batch_id,
        count(*) AS n_rows, min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
 FROM rn GROUP BY 1, 2
 """,
+    "cdc_lineage": f"""
+WITH feed AS ({_FEED}),
+b AS (
+  SELECT ((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256
+         + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 32) AS bucket,
+         commit_ts
+  FROM feed)
+SELECT bucket, CAST(count(*) AS BIGINT) AS applied_events,
+       max(commit_ts) AS max_commit_ts
+FROM b GROUP BY 1
+""",
+    "cdc_syncpoint": f"""
+WITH feed AS ({_FEED})
+SELECT CAST(floor(commit_ts / 1000) AS BIGINT) AS interval_id,
+       max(commit_ts) AS primary_ts, count(*) AS events_in_interval
+FROM feed GROUP BY 1
+""",
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies

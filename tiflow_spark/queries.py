@@ -731,6 +731,50 @@ def cdc_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage (A6; the totalRows accounting of
+    cdc/sink/statistics.go:75-100 + the per-changefeed checkpoint/resolved
+    gauges of cdc/processor/metrics.go:21-49, fused into the fold): replay
+    the feed through the LWW fold with chain statistics
+    (``compact_changes(stats=True)``), then roll the per-key stats up per
+    dispatch bucket — the exact (bucket, applied_events, max_commit_ts)
+    rows the engine commits into every manifest for resumability
+    (engine.py epoch path). The oracle pins the conservation invariant:
+    per-key chain lengths sum back to the raw per-bucket event count, i.e.
+    the fold loses no events from the lineage accounting."""
+    feed = events_as_changefeed(spark, sf_dir)
+    folded = compact_changes(
+        feed, ["user_id"], ["event_type", "value"], stats=True
+    )
+    return (
+        folded.withColumn("bucket", md5_bucket(F.col("user_id"), 32))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_n_events").cast("bigint").alias("applied_events"),
+            F.max("_max_commit_ts").alias("max_commit_ts"),
+        )
+    )
+
+
+def cdc_syncpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-point schedule (K2 sync-point barrier; cdc/owner/barrier.go:28-29
+    syncPointBarrier + the syncpoint_v1 table of
+    cdc/sink/mysql_syncpoint_store.go:34,159,188): with a sync-point
+    interval of E ticks, every E-interval of the feed that contains events
+    yields one consistent-snapshot ts — primary_ts = the last commit ts in
+    the interval — the (primary_ts, secondary_ts) pair the engine records
+    in the manifest's ``syncpoints`` list (lake.py) so upstream at
+    primary_ts and the lake at that snapshot can be diffed exactly."""
+    E = 1000
+    feed = events_as_changefeed(spark, sf_dir)
+    return feed.groupBy(
+        F.floor(F.col("commit_ts") / E).cast("bigint").alias("interval_id")
+    ).agg(
+        F.max("commit_ts").alias("primary_ts"),
+        F.count("*").alias("events_in_interval"),
+    )
+
+
 # ------------------------------------------------------- dedup / similarity
 
 
@@ -864,6 +908,8 @@ QUERIES = {
     "cdc_encode_craft": cdc_encode_craft,
     "cdc_mq_dispatch": cdc_mq_dispatch,
     "cdc_batch_reduce": cdc_batch_reduce,
+    "cdc_lineage": cdc_lineage,
+    "cdc_syncpoint": cdc_syncpoint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -1,0 +1,211 @@
+"""Run the changefeed replay through the real ``spark-submit --py-files``
+deployment path — the north-rule contract ("runs via spark-submit
+--py-files at N and 4N executors").
+
+Two modes in one file:
+
+- **Launcher** (plain ``python tools/submit_replay.py [--cores N]
+  [--events M]``): packs ``tiflow_spark/`` into ``tiflow_spark.zip`` in a
+  temp build dir, then execs ``spark-submit --master local[N] --py-files
+  tiflow_spark.zip <this file> --worker ...`` with the repo scrubbed from
+  ``PYTHONPATH`` and the working directory moved off the repo, so the job
+  can import the package ONLY from the shipped zip — exactly what a
+  cluster executor would see.
+- **Worker** (``--worker``, running under spark-submit): builds its
+  session with ``SparkSession.builder.getOrCreate()`` (no ``master()``
+  override — the submit args win, as on a real cluster), asserts the
+  package really was imported from the zip, generates a seed-fixed
+  changefeed, bootstraps, replays, byte-checks the final state against the
+  sequential-apply oracle, and prints ONE JSON line.
+
+Local parallelism stands in for executor count per BENCH.md's sandbox
+protocol; on a real cluster the same command line takes
+``--master yarn --num-executors N`` etc. and nothing in the job changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------- launcher
+
+
+def _build_zip(build_dir: str) -> str:
+    zip_path = os.path.join(build_dir, "tiflow_spark.zip")
+    pkg = os.path.join(REPO, "tiflow_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in sorted(files):
+                if fn.endswith(".pyc") or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+def _spark_submit_bin() -> str:
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def _submit_once(cores: int, events: int) -> dict | None:
+    """One spark-submit run in a fresh JVM; returns the worker's JSON line."""
+    build_dir = tempfile.mkdtemp(prefix="tiflow_submit_")
+    zip_path = _build_zip(build_dir)
+    env = dict(os.environ)
+    # scrub any repo path so only --py-files can satisfy the import
+    env["PYTHONPATH"] = ""
+    env.pop("SPARK_GRAFT_CPUS", None)
+    cmd = [
+        _spark_submit_bin(),
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", zip_path,
+        os.path.abspath(__file__),
+        "--worker", "--workdir", build_dir, "--events", str(events),
+        "--cores", str(cores),
+    ]
+    # run from OUTSIDE the repo: cwd must not make `tiflow_spark` importable
+    proc = subprocess.run(cmd, cwd=build_dir, env=env,
+                          capture_output=True, text=True)
+    shutil.rmtree(build_dir, ignore_errors=True)
+    sys.stderr.write(proc.stderr[-2000:] if proc.returncode else "")
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            print(line)
+            return json.loads(line)
+    return None
+
+
+def launch(cores: int, events: int) -> int:
+    return 0 if _submit_once(cores, events) else 1
+
+
+def launch_scale(levels: list[int], events: int) -> int:
+    """The north rule's two-cluster-size criterion through the REAL submit
+    path: the same seed-fixed job at local[N] and local[4N] (the sandbox's
+    executor-count stand-in, BENCH.md protocol), identical input content
+    (same seed), separate JVM per level; prints throughput at each level
+    plus the scaling efficiency between the extremes."""
+    results = []
+    for n in levels:
+        r = _submit_once(n, events)
+        if r is None:
+            return 1
+        results.append((n, r))
+    (n0, r0), (n1, r1) = results[0], results[-1]
+    eff = (r1["events_per_sec"] / r0["events_per_sec"]) / (n1 / n0)
+    print(json.dumps({
+        "mode": "spark-submit --py-files scaling",
+        "levels": {f"local[{n}]": r["events_per_sec"] for n, r in results},
+        "events": r0["events"],
+        "oracle_match_all": all(r["oracle_match"] for _, r in results),
+        "scale_from": f"local[{n0}]", "scale_to": f"local[{n1}]",
+        "scaling_efficiency": round(eff, 3),
+    }))
+    return 0
+
+
+# ----------------------------------------------------------------- worker
+
+
+def worker(workdir: str, events: int, cores: int) -> None:
+    import tiflow_spark
+
+    pkg_path = os.path.abspath(tiflow_spark.__file__)
+    from_zip = ".zip" in pkg_path
+    if not from_zip:  # the whole point of the exercise
+        raise SystemExit(f"package imported from {pkg_path}, not the zip")
+
+    from pyspark.sql import SparkSession
+
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.generator import generate_changefeed
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+
+    spark = SparkSession.builder.getOrCreate()  # submit args choose master
+    feed_dir = os.path.join(workdir, "feed")
+    feed = generate_changefeed(
+        feed_dir,
+        n_convs=max(events // 25, 10),
+        turns_per_conv=5,
+        n_changes=events,
+        seed=7,
+        hot_key_frac=0.05,
+        resolved_every=max(events // 4, 100),
+        ddl_plan=[
+            (0.5, {"action": "add_column", "name": "note", "type": "string",
+                   "default": ""}),
+        ],
+    )
+    table = LakeTable(os.path.join(workdir, "target"), num_buckets=16)
+    engine = ChangefeedEngine(feed.log_path, table)
+    engine.bootstrap(spark, feed.base_path)
+    t0 = time.time()
+    engine.run(spark)
+    replay_sec = time.time() - t0
+
+    got = engine.final_state(spark).toPandas()
+    want = sequential_apply(feed.base_path, feed.log_path)
+    keys = ["conv_id", "turn_idx"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    cols = [c for c in want.columns if c in set(got.columns)]
+    match = len(got) == len(want) and all(
+        [None if (v != v) else str(v) for v in got[c]]
+        == [None if (v != v) else str(v) for v in want[c]]
+        for c in cols
+    )
+    spark.stop()
+    print(json.dumps({
+        "mode": "spark-submit --py-files",
+        "master": f"local[{cores}]",
+        "package_from_zip": from_zip,
+        "events": feed.n_events,
+        "replay_sec": round(replay_sec, 3),
+        "events_per_sec": round(feed.n_events / replay_sec, 1),
+        "final_rows": len(got),
+        "oracle_match": bool(match),
+        "compared_cols": cols,
+    }))
+    if not match:
+        raise SystemExit("final state does not match the sequential oracle")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--events", type=int, default=200_000)
+    p.add_argument("--scale", default=None,
+                   help="comma-separated parallelism levels, e.g. 8,32")
+    a = p.parse_args()
+    if a.worker:
+        worker(a.workdir, a.events, a.cores)
+        return 0
+    if a.scale:
+        return launch_scale([int(x) for x in a.scale.split(",")], a.events)
+    return launch(a.cores, a.events)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
