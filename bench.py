@@ -26,6 +26,8 @@ HEADLINE = [
     "cdc_lww_replay",
     "cdc_canonical_order",
     "cdc_update_split",
+    "cdc_lineage",
+    "cdc_syncpoint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

