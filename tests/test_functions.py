@@ -167,6 +167,32 @@ def test_connected_components_chain_and_islands(spark):
     assert len(keepers) == len({r.cluster_id for r in res})
 
 
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The union-find cutover (edges ≤ driver_threshold) and the hash-min
+    label propagation must produce identical (node, cluster_id) maps."""
+    import random
+
+    from tiflow_spark.functions.graph import connected_components
+
+    rng = random.Random(13)
+    # random graph: 200 nodes, 150 edges — mix of chains, cliques, islands
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    via_driver = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=10**6).collect()
+    }
+    via_dist = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, driver_threshold=0, max_iter=60
+        ).collect()
+    }
+    assert via_driver == via_dist
+    assert via_driver  # non-empty
+
+
 def test_jaccard_prefix_filter_lossless_and_tighter(spark):
     from tiflow_spark.functions.dedup import (
         _doc_shingles,

@@ -25,14 +25,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(rows, spark, node_type) -> DataFrame:
+    """Union-find with path compression over a collected edge list; label =
+    min node id per component. O(E α(E)) on the driver — used only below
+    ``driver_threshold`` edges, where one collect beats diameter-many
+    shuffle rounds (same cutover logic as a broadcast join: tiny side →
+    ship it, not shuffle it)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the min label (ids are orderable)
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+        else:
+            parent.setdefault(ru, ru)
+    out = [(n, find(n)) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("node", node_type), StructField("cluster_id", node_type),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``; cluster_id = the
     minimum node id in the node's connected component.
+
+    When the (deduped, symmetric) edge list has ≤ ``driver_threshold``
+    edges it is collected and solved with union-find on the driver: after
+    LSH blocking the duplicate-pair graph is orders of magnitude smaller
+    than the corpus (its size was just computed anyway for the convergence
+    bookkeeping), and one collect of (long, long) pairs replaces
+    diameter-many join+agg shuffle rounds — the broadcast-side cutover,
+    applied to graphs. At 1M edges the collect is ~16 MB. Above the
+    threshold the distributed hash-min label propagation runs unchanged;
+    both paths produce identical output (min-label components).
 
     Raises RuntimeError if not converged after ``max_iter`` rounds (a
     diameter-``max_iter`` duplicate graph means the threshold is far too
@@ -49,13 +95,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()  # materializes the persist either way
+    if n_edges <= driver_threshold:
+        try:
+            return _driver_union_find(
+                edges.collect(), pairs.sparkSession,
+                edges.schema["u"].dataType,
+            )
+        finally:
+            edges.unpersist()
     labels = (
         edges.groupBy("u")
         .agg(F.least(F.min("v"), F.col("u")).alias("lbl"))
         .select(F.col("u").alias("node"), "lbl")
     )
     prev_sum = None
-    prev_cached = None
     try:
         for _ in range(max_iter):
             # propagate: each node takes min(own label, neighbors' labels)
@@ -63,18 +117,21 @@ def connected_components(
                 edges.join(labels, edges["v"] == labels["node"])
                 .select(F.col("u").alias("node"), "lbl")
             )
+            # localCheckpoint (eager) both caches the round's result AND
+            # truncates the LOGICAL plan — persist alone keeps the
+            # cumulative plan, which doubles per round (labels appears in
+            # both join and union) and blows up Catalyst beyond ~15 rounds.
+            # Local (not reliable) checkpointing is the right trade here:
+            # losing an executor mid-CC just reruns the clustering job.
             labels = (
                 labels.union(neighbor_lbl)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()  # truncate per-round lineage growth
+                .localCheckpoint(eager=True)
             )
             cur_sum = labels.agg(
                 F.sum("lbl").alias("s"), F.count("*").alias("n")
             ).collect()[0]
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = labels
             key = (cur_sum["s"], cur_sum["n"])
             if key == prev_sum:  # labels only decrease → equal sum = fixpoint
                 break
