@@ -1,0 +1,162 @@
+"""Config-file-driven changefeed lifecycle: ``python -m tiflow_spark``
+(create/run/query over a TOML config — the `cdc cli changefeed` analogue)
+plus the engine-level filter plumbing the config's `[filter]` section
+drives (ignore-txn-start-ts, event-filter)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def feed(tmp_path_factory):
+    from tiflow_spark.generator import generate_changefeed
+
+    d = tmp_path_factory.mktemp("cli_feed")
+    return generate_changefeed(
+        str(d), n_convs=40, turns_per_conv=5, n_changes=2500, seed=11,
+        resolved_every=500,
+        ddl_plan=[(0.5, {"action": "add_column", "name": "note",
+                         "type": "string", "default": ""})],
+    ), str(d)
+
+
+def _some_start_ts(log_path, k=2):
+    t = pq.read_table(log_path, columns=["op", "start_ts"]).to_pylist()
+    seen = sorted({r["start_ts"] for r in t
+                   if r["op"] in ("I", "U", "D") and r["start_ts"] is not None})
+    return seen[: k]
+
+
+def test_cli_create_query_and_filtered_oracle(feed, tmp_path, spark):
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    ignored = _some_start_ts(f.log_path)
+    target = str(tmp_path / "target")
+    cfg_path = str(tmp_path / "changefeed.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{target}"
+base = "{f.base_path}"
+num-buckets = 8
+
+[filter]
+ignore-txn-start-ts = [{", ".join(str(x) for x in ignored)}]
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "create",
+         "--config", cfg_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["verb"] == "create" and res["result"]["epochs"] >= 1
+
+    # query: manifest-backed status, no Spark session
+    q = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "query", "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    status = json.loads(q.stdout)
+    assert status["state"] == "normal"
+    assert status["checkpoint_ts"] == f.max_commit_ts
+    assert status["lineage"]  # per-bucket lineage rows present
+
+    # `run` again: committed checkpoint => 0 epochs (idempotent resume)
+    out2 = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "run",
+         "--config", cfg_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    res2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
+    assert res2["result"]["epochs"] == 0
+
+    # final state must equal the sequential oracle WITH the txn filter
+    eng = ChangefeedEngine(f.log_path, LakeTable(target, num_buckets=8))
+    got = eng.final_state(spark).toPandas()
+    want = sequential_apply(f.base_path, f.log_path,
+                            ignore_txn_start_ts=set(ignored))
+    assert_tables_equal(got, want)
+    # and differ from the unfiltered oracle (the filter actually dropped txns)
+    assert len(pq.read_table(f.log_path).to_pylist()) > 0
+    unfiltered = sequential_apply(f.base_path, f.log_path)
+    assert not got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+        ["conv_id", "turn_idx"]
+    ].equals(
+        unfiltered.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+            ["conv_id", "turn_idx"]
+        ]
+    ) or len(got) != len(unfiltered) or not got.equals(unfiltered)
+
+
+def test_event_filter_equals_prefiltered_log(feed, tmp_path, spark):
+    """engine(event_filter=P) over the log == plain engine over a log with
+    P-matching DML rows removed — the DM expression-filter contract."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    pred = "turn_idx >= 7"  # drops a real slice of DML
+
+    t1 = str(tmp_path / "t_filtered_engine")
+    e1 = ChangefeedEngine(f.log_path, LakeTable(t1, num_buckets=8),
+                          event_filter=pred)
+    e1.bootstrap(spark, f.base_path)
+    e1.run(spark)
+
+    # rewrite the log without the matching DML rows (control rows kept)
+    tab = pq.read_table(f.log_path)
+    rows = tab.to_pylist()
+    kept = [r for r in rows
+            if r["op"] not in ("I", "U", "D")
+            or not (r["turn_idx"] is not None and r["turn_idx"] >= 7)]
+    assert len(kept) < len(rows)
+    import pyarrow as pa
+
+    log2 = str(tmp_path / "log2")
+    os.makedirs(log2)
+    pq.write_table(pa.Table.from_pylist(kept, schema=tab.schema),
+                   os.path.join(log2, "part-0.parquet"))
+
+    t2 = str(tmp_path / "t_prefiltered_log")
+    e2 = ChangefeedEngine(log2, LakeTable(t2, num_buckets=8))
+    e2.bootstrap(spark, f.base_path)
+    e2.run(spark)
+
+    assert_tables_equal(
+        e1.final_state(spark).toPandas(), e2.final_state(spark).toPandas()
+    )
+
+
+def test_config_validation_rejects_unknown_keys(tmp_path, feed):
+    from tiflow_spark.config import load_config
+
+    f, d = feed
+    p = str(tmp_path / "bad.toml")
+    with open(p, "w") as fh:
+        fh.write(f'log = "{f.log_path}"\ntarget = "x"\nsink-uri = "y"\n')
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(p)
+
+    p2 = str(tmp_path / "bad2.toml")
+    with open(p2, "w") as fh:
+        fh.write('target = "x"\n')
+    with pytest.raises(ValueError, match="missing required"):
+        load_config(p2)

@@ -1,0 +1,136 @@
+"""``python -m tiflow_spark`` — the changefeed lifecycle CLI.
+
+The analogue of the reference's ``cdc cli changefeed`` verbs
+(pkg/cmd/cli/cli_changefeed_create.go, cli_changefeed_query.go) over a
+TOML config (tiflow_spark.config):
+
+- ``create --config x.toml``  bootstrap the target table(s) from the
+  configured full dump, then replay to the newest resolved barrier.
+- ``run --config x.toml``     resume replay from the committed checkpoint
+  (no bootstrap; crash-safe — the manifest fence makes re-runs exact).
+- ``query --config x.toml``   print the changefeed's status as JSON:
+  per-table checkpoint ts/seq, epoch, schema version, per-bucket lineage,
+  sync points (``cdc cli changefeed query`` analogue — the state lives in
+  the lake manifest instead of etcd).
+
+Session: ``--master local[N]`` (default from SPARK_GRAFT_CPUS) builds a
+local session; ``--master submit`` defers to the enclosing spark-submit's
+configuration (use with ``spark-submit --py-files tiflow_spark.zip -m ...``
+or ``tools/submit_replay.py``-style launchers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from tiflow_spark.config import ChangefeedConfig, build_engine, load_config
+
+
+def _session(master: str):
+    if master == "submit":
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.getOrCreate()
+    from tiflow_spark.session import get_spark
+
+    cpus = None
+    if master.startswith("local[") and master.endswith("]"):
+        n = master[len("local["):-1]
+        cpus = None if n == "*" else int(n)
+    return get_spark(app="tiflow_spark_cli", cpus=cpus)
+
+
+def _bootstrap(spark, cfg: ChangefeedConfig, engine) -> None:
+    if cfg.multi_table:
+        bases = {r.target: r.base for r in cfg.routes if r.base}
+        engine.bootstrap(spark, bases)
+    else:
+        if not cfg.base:
+            raise SystemExit("create requires `base` (the full dump) in the config")
+        engine.bootstrap(spark, cfg.base)
+
+
+def _run(spark, cfg: ChangefeedConfig, engine) -> dict:
+    if cfg.multi_table:
+        if cfg.target_ts or cfg.syncpoint_every:
+            raise SystemExit(
+                "target-ts / syncpoint-every are single-table options "
+                "(per-table barriers in multi-table mode are not supported)"
+            )
+        stats = engine.run(
+            spark,
+            barrier_stride=cfg.barrier_stride,
+            validate_resolved=cfg.validate_resolved,
+        )
+        return {
+            name: {"epochs": len(st.epochs), "events": st.total_events}
+            for name, st in stats.items()
+        }
+    stats = engine.run(
+        spark,
+        barrier_stride=cfg.barrier_stride,
+        target_ts=cfg.target_ts,
+        validate_resolved=cfg.validate_resolved,
+        syncpoint_every=cfg.syncpoint_every,
+    )
+    return {"epochs": len(stats.epochs), "events": stats.total_events}
+
+
+def _query(cfg: ChangefeedConfig, engine) -> dict:
+    def table_status(table) -> dict:
+        m = table.current_manifest()
+        if m is None:
+            return {"state": "not bootstrapped"}
+        return {
+            "state": "normal",
+            "epoch": m["epoch"],
+            "checkpoint_ts": m["checkpoint_ts"],
+            "checkpoint_seq": m.get("checkpoint_seq", -1),
+            "schema_version": m["schema_version"],
+            "num_buckets": m["num_buckets"],
+            "data_files": len(m["files"]),
+            "lineage": m.get("lineage", []),
+            "syncpoints": m.get("syncpoints", []),
+        }
+
+    if cfg.multi_table:
+        per = {name: table_status(t) for name, t in engine.tables.items()}
+        chks = [s["checkpoint_ts"] for s in per.values() if "checkpoint_ts" in s]
+        return {
+            "changefeed": cfg.log,
+            "checkpoint_ts": min(chks) if chks else None,  # owner's view
+            "tables": per,
+        }
+    return {"changefeed": cfg.log, **table_status(engine.table)}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="python -m tiflow_spark")
+    p.add_argument("verb", choices=["create", "run", "query"])
+    p.add_argument("--config", required=True, help="changefeed TOML file")
+    p.add_argument("--master", default="local[*]",
+                   help="local[N] | submit (inherit spark-submit conf)")
+    a = p.parse_args(argv)
+
+    cfg = load_config(a.config)
+    engine = build_engine(cfg)
+
+    if a.verb == "query":  # no Spark session needed — manifests are files
+        print(json.dumps(_query(cfg, engine), indent=2, sort_keys=True))
+        return 0
+
+    spark = _session(a.master)
+    try:
+        if a.verb == "create":
+            _bootstrap(spark, cfg, engine)
+        result = _run(spark, cfg, engine)
+        print(json.dumps({"verb": a.verb, "result": result}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

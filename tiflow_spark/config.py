@@ -1,0 +1,142 @@
+"""Changefeed configuration file — the TOML surface a TiCDC/DM user writes.
+
+Mirrors the public shape of the reference's per-changefeed config: TiCDC's
+replica config (pkg/config/replica_config.go:56-70 — `[filter]` with
+`rules` / `ignore-txn-start-ts`, pkg/config/filter.go:22-27; sink options)
+and DM's task routes (dm/dm/config/task.go:122-129 route-rules), plus the
+`cdc cli changefeed create` flags (pkg/cmd/cli/cli_changefeed_create.go:
+75-77,136 — start-ts/target-ts/sink-uri/config). Loaded with stdlib
+``tomllib`` — no dependency.
+
+Example::
+
+    # changefeed.toml
+    log = "/data/feed/log"                 # changefeed source (the WAL)
+    target = "/data/lake/transcripts"      # sink: lake table directory
+    base = "/data/feed/base/transcripts.parquet"  # optional bootstrap dump
+    target-ts = 0                          # 0 = no finish barrier
+    barrier-stride = 0                     # 0 = coalesce all marks
+    syncpoint-every = 0                    # 0 = no sync points
+    num-buckets = 32
+
+    [filter]
+    ignore-txn-start-ts = [1, 2]
+    event-filter = "turn_idx < 0"          # drop DML rows matching
+
+    [[routes]]                             # presence => multi-table mode
+    source = "shard_*"
+    target = "merged"
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RouteRule:
+    source: str  # glob over source table names (DM route-rules)
+    target: str  # target table name
+    base: str | None = None  # optional bootstrap dump for this target
+
+
+@dataclass
+class ChangefeedConfig:
+    log: str
+    target: str
+    base: str | None = None
+    target_ts: int | None = None
+    barrier_stride: int = 0
+    syncpoint_every: int | None = None
+    num_buckets: int = 32
+    validate_resolved: bool = True
+    ignore_txn_start_ts: list[int] = field(default_factory=list)
+    event_filter: str | None = None
+    routes: list[RouteRule] = field(default_factory=list)
+
+    @property
+    def multi_table(self) -> bool:
+        return bool(self.routes)
+
+
+def _norm(key: str) -> str:
+    return key.replace("-", "_")
+
+
+def load_config(path: str) -> ChangefeedConfig:
+    """Parse and validate a changefeed TOML file; unknown keys are an error
+    (the reference's strictDecodeConfig,
+    pkg/cmd/cli/cli_changefeed_create.go:90)."""
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+
+    top_keys = {
+        "log", "target", "base", "target-ts", "barrier-stride",
+        "syncpoint-every", "num-buckets", "validate-resolved",
+        "filter", "routes",
+    }
+    unknown = set(raw) - top_keys
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+
+    filt = raw.get("filter", {})
+    f_unknown = set(filt) - {"ignore-txn-start-ts", "event-filter"}
+    if f_unknown:
+        raise ValueError(f"unknown [filter] keys: {sorted(f_unknown)}")
+
+    routes = []
+    for r in raw.get("routes", []):
+        r_unknown = set(r) - {"source", "target", "base"}
+        if r_unknown:
+            raise ValueError(f"unknown [[routes]] keys: {sorted(r_unknown)}")
+        routes.append(RouteRule(r["source"], r["target"], r.get("base")))
+
+    for req in ("log", "target"):
+        if req not in raw:
+            raise ValueError(f"config missing required key: {req!r}")
+
+    cfg = ChangefeedConfig(
+        log=raw["log"],
+        target=raw["target"],
+        base=raw.get("base"),
+        target_ts=raw.get("target-ts") or None,
+        barrier_stride=int(raw.get("barrier-stride", 0)),
+        syncpoint_every=raw.get("syncpoint-every") or None,
+        num_buckets=int(raw.get("num-buckets", 32)),
+        validate_resolved=bool(raw.get("validate-resolved", True)),
+        ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
+        event_filter=filt.get("event-filter"),
+        routes=routes,
+    )
+    if not os.path.exists(cfg.log):
+        raise FileNotFoundError(f"changefeed log not found: {cfg.log}")
+    return cfg
+
+
+def build_engine(cfg: ChangefeedConfig):
+    """Instantiate the engine a config describes (single- or multi-table)."""
+    from tiflow_spark.engine import ChangefeedEngine, MultiTableEngine
+    from tiflow_spark.lake import LakeTable
+
+    if not cfg.multi_table:
+        return ChangefeedEngine(
+            cfg.log,
+            LakeTable(cfg.target, num_buckets=cfg.num_buckets),
+            ignore_txn_start_ts=cfg.ignore_txn_start_ts,
+            event_filter=cfg.event_filter,
+        )
+    tables = {
+        r.target: LakeTable(
+            os.path.join(cfg.target, r.target), num_buckets=cfg.num_buckets
+        )
+        for r in cfg.routes
+    }
+    return MultiTableEngine(
+        cfg.log,
+        tables,
+        rules=[(r.source, r.target) for r in cfg.routes],
+        ignore_txn_start_ts=cfg.ignore_txn_start_ts,
+        event_filter=cfg.event_filter,
+    )

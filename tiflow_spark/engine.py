@@ -252,11 +252,29 @@ def decode_events(
 
 
 class ChangefeedEngine:
-    """Replays a changefeed log into a LakeTable, epoch by epoch."""
+    """Replays a changefeed log into a LakeTable, epoch by epoch.
 
-    def __init__(self, log_path: str, table: LakeTable):
+    ``ignore_txn_start_ts``: drop whole transactions by start_ts before the
+    fold (TiCDC FilterConfig.IgnoreTxnStartTs, pkg/config/filter.go:25 +
+    pkg/filter/filter.go:72-79). ``event_filter``: SQL predicate over the
+    raw event columns; matching DML rows are dropped (DM's expression
+    filter, dm/syncer/dml.go:182-194 shape). Both are Catalyst predicates
+    applied to the epoch slice — they push to the scan and never touch
+    control rows, so resolved-ts progression and the contract validation
+    are unaffected (filtered events are still covered by their resolved
+    promise; they are simply not applied, exactly as in the reference)."""
+
+    def __init__(
+        self,
+        log_path: str,
+        table: LakeTable,
+        ignore_txn_start_ts: list[int] | None = None,
+        event_filter: str | None = None,
+    ):
         self.log_path = log_path
         self.table = table
+        self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
+        self.event_filter = event_filter
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(
@@ -470,6 +488,10 @@ class ChangefeedEngine:
         # post-shuffle projection — measured ~20× cheaper than building a
         # columnar cache of the folded set.
         dml = sliced.filter(F.col("op").isin(*DML_OPS))
+        if self.ignore_txn_start_ts:  # F3, scan-pushed
+            dml = dml.filter(~F.col("start_ts").isin(self.ignore_txn_start_ts))
+        if self.event_filter:  # F5: drop rows matching the predicate
+            dml = dml.filter(~F.expr(self.event_filter))
         if truncate_ts is not None:
             # pre-truncate events cannot survive — drop them before the fold
             # (pushdown: the predicate reaches the scan)
@@ -599,6 +621,8 @@ class MultiTableEngine:
         tables: dict[str, LakeTable],
         rules: list[tuple[str, str]] | None = None,
         default_table: str | None = None,
+        ignore_txn_start_ts: list[int] | None = None,
+        event_filter: str | None = None,
     ):
         from tiflow_spark.model import DEFAULT_TABLE
 
@@ -606,6 +630,8 @@ class MultiTableEngine:
         self.tables = dict(tables)
         self.rules = list(rules) if rules is not None else [(n, n) for n in tables]
         self.default_table = default_table or DEFAULT_TABLE
+        self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
+        self.event_filter = event_filter
         unknown = {tgt for _, tgt in self.rules} - set(self.tables)
         if unknown:
             raise ValueError(f"route rules target unknown tables: {sorted(unknown)}")
@@ -746,7 +772,11 @@ class MultiTableEngine:
                     and m["checkpoint_ts"] < r["commit_ts"] <= barrier
                     and self.route_name(r["tbl"]) == name
                 ]
-                sub = ChangefeedEngine(self.log_path, table)
+                sub = ChangefeedEngine(
+                    self.log_path, table,
+                    ignore_txn_start_ts=self.ignore_txn_start_ts,
+                    event_filter=self.event_filter,
+                )
                 st = sub.apply_slice(
                     spark, sliced, m, barrier, ddl_rows=ddl_rows,
                     barrier_seq=barrier_seq,

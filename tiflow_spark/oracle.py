@@ -88,6 +88,7 @@ def sequential_apply(
     barrier_ts: int | None = None,
     source_tables: set[str] | None = None,
     default_table: str = "transcripts",
+    ignore_txn_start_ts: set[int] | None = None,
 ) -> pd.DataFrame:
     """Replay the log onto the base snapshot; return the final table.
 
@@ -98,6 +99,9 @@ def sequential_apply(
     source_tables: multi-table logs — only apply DML/DDL whose source table
     (``tbl`` column, null → default_table) is in the set; R rows are
     changefeed-global and unaffected. None → apply everything.
+
+    ignore_txn_start_ts: DML events of these transactions are skipped
+    (TiCDC FilterConfig.IgnoreTxnStartTs) — control rows are unaffected.
     """
     registry = registry or SchemaRegistry.initial()
     v1 = registry.versions[0]
@@ -137,6 +141,8 @@ def sequential_apply(
                     for key in _keys_matching(state.keys(), d["where"]):
                         state.pop(key, None)
             continue
+        if ignore_txn_start_ts and ev.get("start_ts") in ignore_txn_start_ts:
+            continue  # DML of an ignored txn (DDL/R handled above)
         key = (ev["conv_id"], ev["turn_idx"])
         if op == "D":
             state.pop(key, None)
