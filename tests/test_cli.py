@@ -145,6 +145,41 @@ def test_event_filter_equals_prefiltered_log(feed, tmp_path, spark):
     )
 
 
+def test_cli_stream_drains_to_oracle(feed, tmp_path, spark):
+    """`stream` verb: bootstrap + availableNow drain through the Structured
+    Streaming front-end must land the same final state as the batch path."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    target = str(tmp_path / "stream_target")
+    cfg_path = str(tmp_path / "stream.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{target}"
+base = "{f.base_path}"
+num-buckets = 8
+max-files-per-trigger = 4
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "stream",
+         "--config", cfg_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["result"]["epochs"] >= 1
+
+    eng = ChangefeedEngine(f.log_path, LakeTable(target, num_buckets=8))
+    got = eng.final_state(spark).toPandas()
+    want = sequential_apply(f.base_path, f.log_path)
+    assert_tables_equal(got, want)
+
+
 def test_config_validation_rejects_unknown_keys(tmp_path, feed):
     from tiflow_spark.config import load_config
 

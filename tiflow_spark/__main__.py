@@ -12,6 +12,10 @@ TOML config (tiflow_spark.config):
   per-table checkpoint ts/seq, epoch, schema version, per-bucket lineage,
   sync points (``cdc cli changefeed query`` analogue — the state lives in
   the lake manifest instead of etcd).
+- ``stream --config x.toml``  tail the log with the Structured Streaming
+  front-end: drain everything currently in the log (availableNow) by
+  default, or stay up ticking every ``--trigger N`` seconds. Bootstraps
+  first when the table is missing and the config names a ``base`` dump.
 
 Session: ``--master local[N]`` (default from SPARK_GRAFT_CPUS) builds a
 local session; ``--master submit`` defers to the enclosing spark-submit's
@@ -106,12 +110,35 @@ def _query(cfg: ChangefeedConfig, engine) -> dict:
     return {"changefeed": cfg.log, **table_status(engine.table)}
 
 
+def _stream(spark, cfg: ChangefeedConfig, engine, trigger: float | None) -> dict:
+    import os
+
+    from tiflow_spark.streaming.changefeed_stream import StreamingChangefeed
+
+    sc = StreamingChangefeed(
+        engine,
+        cfg.stream_checkpoint or os.path.join(cfg.target, "_stream_ckpt"),
+        max_files_per_trigger=cfg.max_files_per_trigger,
+    )
+    if trigger:
+        q = sc.start(spark, trigger_seconds=trigger)
+        q.awaitTermination()  # until interrupted
+    else:
+        sc.run_available(spark)
+    return {
+        "epochs": len(sc.epochs),
+        "events": sum(e.dml_events + e.ddl_events for e in sc.epochs),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m tiflow_spark")
-    p.add_argument("verb", choices=["create", "run", "query"])
+    p.add_argument("verb", choices=["create", "run", "query", "stream"])
     p.add_argument("--config", required=True, help="changefeed TOML file")
     p.add_argument("--master", default="local[*]",
                    help="local[N] | submit (inherit spark-submit conf)")
+    p.add_argument("--trigger", type=float, default=None,
+                   help="stream: tick every N seconds (default: drain once)")
     a = p.parse_args(argv)
 
     cfg = load_config(a.config)
@@ -125,7 +152,17 @@ def main(argv=None) -> int:
     try:
         if a.verb == "create":
             _bootstrap(spark, cfg, engine)
-        result = _run(spark, cfg, engine)
+        if a.verb == "stream":
+            table = engine.tables if cfg.multi_table else engine.table
+            missing = (
+                any(not t.exists() for t in table.values())
+                if cfg.multi_table else not table.exists()
+            )
+            if missing:
+                _bootstrap(spark, cfg, engine)
+            result = _stream(spark, cfg, engine, a.trigger)
+        else:
+            result = _run(spark, cfg, engine)
         print(json.dumps({"verb": a.verb, "result": result}))
     finally:
         spark.stop()

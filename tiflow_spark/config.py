@@ -55,6 +55,8 @@ class ChangefeedConfig:
     ignore_txn_start_ts: list[int] = field(default_factory=list)
     event_filter: str | None = None
     routes: list[RouteRule] = field(default_factory=list)
+    stream_checkpoint: str | None = None  # Spark streaming checkpoint dir
+    max_files_per_trigger: int | None = None  # FC1 flow-control quota
 
     @property
     def multi_table(self) -> bool:
@@ -75,7 +77,7 @@ def load_config(path: str) -> ChangefeedConfig:
     top_keys = {
         "log", "target", "base", "target-ts", "barrier-stride",
         "syncpoint-every", "num-buckets", "validate-resolved",
-        "filter", "routes",
+        "filter", "routes", "stream-checkpoint", "max-files-per-trigger",
     }
     unknown = set(raw) - top_keys
     if unknown:
@@ -109,6 +111,8 @@ def load_config(path: str) -> ChangefeedConfig:
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
         routes=routes,
+        stream_checkpoint=raw.get("stream-checkpoint"),
+        max_files_per_trigger=raw.get("max-files-per-trigger") or None,
     )
     if not os.path.exists(cfg.log):
         raise FileNotFoundError(f"changefeed log not found: {cfg.log}")
