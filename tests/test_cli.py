@@ -87,6 +87,20 @@ ignore-txn-start-ts = [{", ".join(str(x) for x in ignored)}]
     res2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
     assert res2["result"]["epochs"] == 0
 
+    # gc verb: expire old manifests, current state untouched
+    g = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "gc", "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert g.returncode == 0, g.stderr[-2000:]
+    gres = json.loads(g.stdout)["result"]
+    assert "removed_manifests" in gres
+    q2 = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "query", "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert json.loads(q2.stdout)["checkpoint_ts"] == f.max_commit_ts
+
     # final state must equal the sequential oracle WITH the txn filter
     eng = ChangefeedEngine(f.log_path, LakeTable(target, num_buckets=8))
     got = eng.final_state(spark).toPandas()

@@ -16,6 +16,9 @@ TOML config (tiflow_spark.config):
   front-end: drain everything currently in the log (availableNow) by
   default, or stay up ticking every ``--trigger N`` seconds. Bootstraps
   first when the table is missing and the config names a ``base`` dump.
+- ``gc --config x.toml``      expire manifests older than the last
+  ``gc-keep-last`` epochs and delete unreferenced data files (the C4 GC
+  safepoint, cdc/owner/changefeed.go:253-270 — manifest-level, no Spark).
 
 Session: ``--master local[N]`` (default from SPARK_GRAFT_CPUS) builds a
 local session; ``--master submit`` defers to the enclosing spark-submit's
@@ -49,11 +52,22 @@ def _session(master: str):
 def _bootstrap(spark, cfg: ChangefeedConfig, engine) -> None:
     if cfg.multi_table:
         bases = {r.target: r.base for r in cfg.routes if r.base}
-        engine.bootstrap(spark, bases)
+        engine.bootstrap(spark, bases, start_ts=cfg.start_ts)
     else:
         if not cfg.base:
             raise SystemExit("create requires `base` (the full dump) in the config")
-        engine.bootstrap(spark, cfg.base)
+        engine.bootstrap(spark, cfg.base, start_ts=cfg.start_ts)
+
+
+def _gc(cfg: ChangefeedConfig, engine) -> dict:
+    """GC safepoint (C4): expire old manifests + unreferenced data files,
+    keeping the last ``gc-keep-last`` epochs per table."""
+    if cfg.multi_table:
+        return {
+            name: t.expire_snapshots(keep_last=cfg.gc_keep_last)
+            for name, t in engine.tables.items()
+        }
+    return engine.table.expire_snapshots(keep_last=cfg.gc_keep_last)
 
 
 def _run(spark, cfg: ChangefeedConfig, engine) -> dict:
@@ -133,7 +147,7 @@ def _stream(spark, cfg: ChangefeedConfig, engine, trigger: float | None) -> dict
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m tiflow_spark")
-    p.add_argument("verb", choices=["create", "run", "query", "stream"])
+    p.add_argument("verb", choices=["create", "run", "query", "stream", "gc"])
     p.add_argument("--config", required=True, help="changefeed TOML file")
     p.add_argument("--master", default="local[*]",
                    help="local[N] | submit (inherit spark-submit conf)")
@@ -146,6 +160,9 @@ def main(argv=None) -> int:
 
     if a.verb == "query":  # no Spark session needed — manifests are files
         print(json.dumps(_query(cfg, engine), indent=2, sort_keys=True))
+        return 0
+    if a.verb == "gc":  # manifest-level too — no Spark session
+        print(json.dumps({"verb": "gc", "result": _gc(cfg, engine)}))
         return 0
 
     spark = _session(a.master)

@@ -47,7 +47,9 @@ class ChangefeedConfig:
     log: str
     target: str
     base: str | None = None
+    start_ts: int = 0  # replay begins after this ts (create --start-ts)
     target_ts: int | None = None
+    gc_keep_last: int = 2  # manifests kept by the gc verb (C4 safepoint)
     barrier_stride: int = 0
     syncpoint_every: int | None = None
     num_buckets: int = 32
@@ -75,8 +77,8 @@ def load_config(path: str) -> ChangefeedConfig:
         raw = tomllib.load(f)
 
     top_keys = {
-        "log", "target", "base", "target-ts", "barrier-stride",
-        "syncpoint-every", "num-buckets", "validate-resolved",
+        "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
+        "syncpoint-every", "num-buckets", "validate-resolved", "gc-keep-last",
         "filter", "routes", "stream-checkpoint", "max-files-per-trigger",
     }
     unknown = set(raw) - top_keys
@@ -103,7 +105,9 @@ def load_config(path: str) -> ChangefeedConfig:
         log=raw["log"],
         target=raw["target"],
         base=raw.get("base"),
+        start_ts=int(raw.get("start-ts", 0)),
         target_ts=raw.get("target-ts") or None,
+        gc_keep_last=int(raw.get("gc-keep-last", 2)),
         barrier_stride=int(raw.get("barrier-stride", 0)),
         syncpoint_every=raw.get("syncpoint-every") or None,
         num_buckets=int(raw.get("num-buckets", 32)),
