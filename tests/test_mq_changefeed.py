@@ -1,0 +1,126 @@
+"""Changefeed → MQ topic flow (the reference's kafka changefeed,
+cdc/sink/mq.go): full ordered event stream published with envelopes, DDL
+broadcast to every partition, checkpoint broadcast per epoch, topic-manifest
+fence for resume — plus the CLI [sink] type='mq' wiring."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def feed(tmp_path_factory):
+    from tiflow_spark.generator import generate_changefeed
+
+    d = tmp_path_factory.mktemp("mqcf_feed")
+    return generate_changefeed(
+        str(d), n_convs=30, turns_per_conv=4, n_changes=1500, seed=5,
+        resolved_every=300,
+        ddl_plan=[(0.5, {"action": "add_column", "name": "note",
+                         "type": "string", "default": ""})],
+    )
+
+
+def _dml_rows(log_path):
+    rows = pq.read_table(log_path).to_pylist()
+    return [r for r in rows if r["op"] in ("I", "U", "D")]
+
+
+def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark):
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed
+
+    sink = FileMQSink(str(tmp_path / "topic"), n_partitions=4)
+    cf = MQChangefeed(feed.log_path, sink)
+    epochs = cf.run(spark)
+    assert len(epochs) == 1 and epochs[0]["published"]
+
+    dml = _dml_rows(feed.log_path)
+    topic = cf.sink.read_topic(spark)
+    rows = topic.filter(F.col("kind") == "row").collect()
+    assert len(rows) == len(dml)  # lossless: every DML event delivered
+
+    # every delivered envelope matches a source event exactly (ts+key+payload)
+    want = {(r["commit_ts"], r["conv_id"], r["turn_idx"], r["payload"])
+            for r in dml}
+    got = set()
+    for r in rows:
+        v = json.loads(r["value"])
+        # to_json omits null fields — deletes carry no payload
+        got.add((v["ts"], v["conv_id"], v["turn_idx"], v.get("payload")))
+    assert got == want
+
+    # per-partition offset order == canonical event order (consumer view)
+    part = topic.withColumn(
+        "partition",
+        F.regexp_extract(F.input_file_name(), r"partition=(\d+)", 1).cast("int"),
+    )
+    for p in range(4):
+        seq = [json.loads(r["value"])["ts"]
+               for r in part.filter((F.col("kind") == "row") & (F.col("partition") == p))
+               .orderBy("offset").collect()]
+        assert seq == sorted(seq)
+
+    # DDL broadcast: one 'ddl' message per partition per DDL
+    ddls = part.filter(F.col("kind") == "ddl").collect()
+    n_ddl_src = sum(1 for r in pq.read_table(feed.log_path).to_pylist()
+                    if r["op"] == "DDL")
+    assert len(ddls) == 4 * n_ddl_src
+    assert {json.loads(r["value"])["ddl"]["action"] for r in ddls} == {"add_column"}
+
+    # checkpoint broadcast carries the final barrier on every partition
+    cks = part.filter(F.col("kind") == "checkpoint").collect()
+    assert len(cks) == 4
+    assert {json.loads(r["value"])["resolved_ts"] for r in cks} == {
+        epochs[0]["barrier_ts"]
+    }
+
+    # offsets are dense: manifest tail == max offset + 1 per partition
+    state = sink.topic_state()
+    for p in range(4):
+        tail = max(r["offset"] for r in part.filter(F.col("partition") == p).collect())
+        assert state["offsets"][str(p)] == tail + 1
+
+    # resume: everything published => no new epochs
+    assert cf.run(spark) == []
+
+
+def test_cli_mq_sink(feed, tmp_path):
+    cfg_path = str(tmp_path / "mq.toml")
+    topic = str(tmp_path / "cli_topic")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{feed.log_path}"
+target = "{topic}"
+
+[sink]
+type = "mq"
+partitions = 2
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "run",
+         "--config", cfg_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["result"]["epochs"] == 1
+    assert res["result"]["barrier_ts"] == feed.max_commit_ts
+
+    q = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "query", "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    state = json.loads(q.stdout)
+    assert state["barrier_ts"] == feed.max_commit_ts
+    assert sum(state["offsets"].values()) > 0

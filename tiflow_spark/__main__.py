@@ -145,6 +145,27 @@ def _stream(spark, cfg: ChangefeedConfig, engine, trigger: float | None) -> dict
     }
 
 
+def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
+    """MQ-sink changefeed: create/run publish outstanding barriers to the
+    topic; query prints the topic manifest (offsets + barrier)."""
+    if a.verb == "query":
+        print(json.dumps(engine.sink.topic_state(), indent=2, sort_keys=True))
+        return 0
+    if a.verb in ("stream", "gc"):
+        raise SystemExit(f"{a.verb} is not supported for [sink] type='mq'")
+    spark = _session(a.master)
+    try:
+        epochs = engine.run(spark, barrier_stride=cfg.barrier_stride)
+        print(json.dumps({"verb": a.verb, "result": {
+            "epochs": len(epochs),
+            "messages": sum(e["messages"] for e in epochs),
+            "barrier_ts": epochs[-1]["barrier_ts"] if epochs else None,
+        }}))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m tiflow_spark")
     p.add_argument("verb", choices=["create", "run", "query", "stream", "gc"])
@@ -157,6 +178,9 @@ def main(argv=None) -> int:
 
     cfg = load_config(a.config)
     engine = build_engine(cfg)
+
+    if cfg.sink_type == "mq":
+        return _main_mq(a, cfg, engine)
 
     if a.verb == "query":  # no Spark session needed — manifests are files
         print(json.dumps(_query(cfg, engine), indent=2, sort_keys=True))

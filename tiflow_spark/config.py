@@ -59,6 +59,8 @@ class ChangefeedConfig:
     routes: list[RouteRule] = field(default_factory=list)
     stream_checkpoint: str | None = None  # Spark streaming checkpoint dir
     max_files_per_trigger: int | None = None  # FC1 flow-control quota
+    sink_type: str = "lake"  # "lake" (MERGE upsert) | "mq" (topic publish)
+    sink_partitions: int = 4  # MQ topic partition count
 
     @property
     def multi_table(self) -> bool:
@@ -80,6 +82,7 @@ def load_config(path: str) -> ChangefeedConfig:
         "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
         "syncpoint-every", "num-buckets", "validate-resolved", "gc-keep-last",
         "filter", "routes", "stream-checkpoint", "max-files-per-trigger",
+        "sink",
     }
     unknown = set(raw) - top_keys
     if unknown:
@@ -89,6 +92,14 @@ def load_config(path: str) -> ChangefeedConfig:
     f_unknown = set(filt) - {"ignore-txn-start-ts", "event-filter"}
     if f_unknown:
         raise ValueError(f"unknown [filter] keys: {sorted(f_unknown)}")
+
+    sink = raw.get("sink", {})
+    s_unknown = set(sink) - {"type", "partitions"}
+    if s_unknown:
+        raise ValueError(f"unknown [sink] keys: {sorted(s_unknown)}")
+    sink_type = sink.get("type", "lake")
+    if sink_type not in ("lake", "mq"):
+        raise ValueError(f"[sink] type must be 'lake' or 'mq', got {sink_type!r}")
 
     routes = []
     for r in raw.get("routes", []):
@@ -117,6 +128,8 @@ def load_config(path: str) -> ChangefeedConfig:
         routes=routes,
         stream_checkpoint=raw.get("stream-checkpoint"),
         max_files_per_trigger=raw.get("max-files-per-trigger") or None,
+        sink_type=sink_type,
+        sink_partitions=int(sink.get("partitions", 4)),
     )
     if not os.path.exists(cfg.log):
         raise FileNotFoundError(f"changefeed log not found: {cfg.log}")
@@ -124,10 +137,22 @@ def load_config(path: str) -> ChangefeedConfig:
 
 
 def build_engine(cfg: ChangefeedConfig):
-    """Instantiate the engine a config describes (single- or multi-table)."""
+    """Instantiate the engine a config describes: lake MERGE (single- or
+    multi-table) or MQ topic publish."""
     from tiflow_spark.engine import ChangefeedEngine, MultiTableEngine
     from tiflow_spark.lake import LakeTable
 
+    if cfg.sink_type == "mq":
+        from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed
+
+        if cfg.multi_table:
+            raise ValueError("[sink] type='mq' does not support [[routes]]")
+        return MQChangefeed(
+            cfg.log,
+            FileMQSink(cfg.target, n_partitions=cfg.sink_partitions),
+            ignore_txn_start_ts=cfg.ignore_txn_start_ts,
+            event_filter=cfg.event_filter,
+        )
     if not cfg.multi_table:
         return ChangefeedEngine(
             cfg.log,

@@ -81,12 +81,17 @@ class FileMQSink:
         epoch: int,
         barrier_ts: int,
         envelope_col: str = "envelope",
+        ddl_rows: list | None = None,
     ) -> bool:
         """Append one epoch's events (already cut to the barrier) as an
         offset-ordered segment + per-partition checkpoint messages.
         ``events`` must carry the key columns and an ``envelope_col`` with
-        the codec output (any cdc_encode_* shape). Returns False when the
-        epoch was already published (fence)."""
+        the codec output (any cdc_encode_* shape). ``ddl_rows``:
+        ``(commit_ts, ddl_json)`` pairs to broadcast to EVERY partition as
+        ``kind='ddl'`` messages (cdc/sink/mq.go EmitDDLEvent), emitted in
+        commit-ts order after the epoch's data rows — consumers order DDL
+        against rows by the carried ts, offsets order everything else.
+        Returns False when the epoch was already published (fence)."""
         state = self.topic_state()
         if state["epoch"] >= epoch:
             return False
@@ -119,6 +124,18 @@ class FileMQSink:
         offsets = {
             p: state["offsets"][p] + counts.get(p, 0) for p in state["offsets"]
         }
+        # DDL broadcast: every partition gets every DDL (mq.go EmitDDLEvent),
+        # in commit-ts order, after the data rows
+        for cts, ddl in sorted(ddl_rows or []):
+            d_rows = [
+                (int(p), offsets[p], "ddl",
+                 json.dumps({"commit_ts": cts, "ddl": json.loads(ddl)}))
+                for p in offsets
+            ]
+            spark.createDataFrame(
+                d_rows, "partition int, offset long, kind string, value string"
+            ).repartition(1).write.partitionBy("partition").mode("append").json(out)
+            offsets = {p: offsets[p] + 1 for p in offsets}
         # checkpoint broadcast: one control message per partition, AFTER the
         # data rows (its offset = new tail), carrying the global barrier
         ck_rows = [
@@ -138,3 +155,130 @@ class FileMQSink:
         return spark.read.schema(
             "offset long, kind string, value string"
         ).option("basePath", self.path).json(os.path.join(self.path, "epoch=*"))
+
+
+def open_json_envelope() -> "F.Column":
+    """Default codec for the MQ changefeed: TiCDC open-protocol-style JSON
+    envelope over the raw event columns (cdc/sink/codec/json.go shape —
+    type from op, ts, key columns, full payload; pre-image when present)."""
+    return F.to_json(
+        F.struct(
+            F.col("op").alias("t"),
+            F.col("commit_ts").alias("ts"),
+            F.col("start_ts").alias("sts"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("payload"),
+            F.col("pre_payload"),
+            F.col("schema_version").alias("v"),
+        )
+    )
+
+
+class MQChangefeed:
+    """The reference's MQ (Kafka) changefeed flow (cdc/sink/mq.go:55-220):
+    tail the changefeed log and PUBLISH every DML event — no LWW fold; the
+    consumer sees the full ordered change stream, unlike the lake MERGE
+    path — codec-enveloped, index-value dispatched, with per-epoch
+    checkpoint broadcast and DDL broadcast to every partition
+    (mq.go:136-166 flush-then-broadcast; EmitDDLEvent).
+
+    Progress state lives in the topic manifest (``barrier_ts`` +
+    ``epoch``), so resume and the epoch fence work exactly like the lake
+    path: re-running a published epoch is a no-op, and a crashed attempt's
+    orphan segment is overwritten on replay.
+
+    Scale shape per epoch: one ts-pruned scan of the log slice, one
+    exchange on the partition id, a per-partition offset window, one
+    partitioned write. DDL and checkpoint messages are driver-side rows
+    (control plane is tiny by construction).
+    """
+
+    def __init__(
+        self,
+        log_path: str,
+        sink: FileMQSink,
+        envelope=None,
+        ignore_txn_start_ts: list[int] | None = None,
+        event_filter: str | None = None,
+    ):
+        self.log_path = log_path
+        self.sink = sink
+        # None → open_json_envelope(), resolved lazily at run time: Column
+        # construction needs an active SparkContext, and the CLI builds the
+        # engine before it builds the session
+        self.envelope = envelope
+        self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
+        self.event_filter = event_filter
+
+    def read_log(self, spark: SparkSession) -> DataFrame:
+        from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+
+        return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.log_path)
+
+    def run(
+        self,
+        spark: SparkSession,
+        max_epochs: int | None = None,
+        barrier_stride: int = 0,
+    ) -> list[dict]:
+        """Publish all outstanding barriers; returns one stats dict per
+        published epoch. Same stride semantics as ChangefeedEngine.run."""
+        from tiflow_spark.engine import read_control
+        from tiflow_spark.model import DML_OPS, OP_DDL, OP_RESOLVED
+        from tiflow_spark.operators.watermark import watermark_cut
+
+        state = self.sink.topic_state()
+        chk = int(state.get("barrier_ts", 0))
+        control = read_control(
+            spark, self.log_path, chk, ("op", "commit_ts", "seq", "ddl")
+        )
+        log = self.read_log(spark)
+        out: list[dict] = []
+        while True:
+            barriers = sorted(
+                {r["commit_ts"] for r in control
+                 if r["op"] == OP_RESOLVED and r["commit_ts"] > chk}
+            )
+            if not barriers:
+                break
+            if barrier_stride <= 0:
+                barrier = barriers[-1]
+            else:
+                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            sliced = watermark_cut(log, low_ts=chk, high_ts=barrier)
+            dml = sliced.filter(F.col("op").isin(*DML_OPS))
+            if self.ignore_txn_start_ts:
+                dml = dml.filter(
+                    ~F.col("start_ts").isin(self.ignore_txn_start_ts)
+                )
+            if self.event_filter:
+                dml = dml.filter(~F.expr(self.event_filter))
+            envelope = (
+                self.envelope if self.envelope is not None
+                else open_json_envelope()
+            )
+            events = dml.withColumn("envelope", envelope)
+            ddl_rows = [
+                (r["commit_ts"], r["ddl"]) for r in control
+                if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
+            ]
+            epoch = self.sink.topic_state()["epoch"] + 1
+            published = self.sink.write_epoch(
+                events, epoch=epoch, barrier_ts=barrier, ddl_rows=ddl_rows
+            )
+            n = sum(
+                v - state["offsets"][p]
+                for p, v in self.sink.topic_state()["offsets"].items()
+            ) if published else 0
+            out.append({
+                "epoch": epoch, "barrier_ts": barrier,
+                "published": published, "messages": n,
+            })
+            state = self.sink.topic_state()
+            chk = barrier
+            if max_epochs is not None and len(out) >= max_epochs:
+                break
+            if barrier == barriers[-1]:
+                break
+        return out
