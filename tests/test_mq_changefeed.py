@@ -93,6 +93,30 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
+@pytest.mark.parametrize("protocol,op_names", [
+    ("maxwell", {"insert", "update", "delete"}),
+    ("canal-json", {"INSERT", "UPDATE", "DELETE"}),
+])
+def test_mq_protocol_envelopes(feed, tmp_path, spark, protocol, op_names):
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed
+
+    sink = FileMQSink(str(tmp_path / f"topic_{protocol}"), n_partitions=2)
+    cf = MQChangefeed(feed.log_path, sink, protocol=protocol)
+    epochs = cf.run(spark)
+    assert epochs and epochs[0]["published"]
+    rows = cf.sink.read_topic(spark).filter(F.col("kind") == "row").collect()
+    assert len(rows) == len(_dml_rows(feed.log_path))
+    types = {json.loads(r["value"])["type"] for r in rows}
+    assert types <= op_names and "insert".upper() in {t.upper() for t in types}
+    one = json.loads(rows[0]["value"])
+    assert one["table"] == "transcripts"
+    data = one["data"][0] if protocol == "canal-json" else one["data"]
+    assert "conv_id" in data and "turn_idx" in data
+
+    with pytest.raises(ValueError, match="unknown MQ protocol"):
+        MQChangefeed(feed.log_path, sink, protocol="craft")
+
+
 def test_cli_mq_sink(feed, tmp_path):
     cfg_path = str(tmp_path / "mq.toml")
     topic = str(tmp_path / "cli_topic")

@@ -61,6 +61,7 @@ class ChangefeedConfig:
     max_files_per_trigger: int | None = None  # FC1 flow-control quota
     sink_type: str = "lake"  # "lake" (MERGE upsert) | "mq" (topic publish)
     sink_partitions: int = 4  # MQ topic partition count
+    sink_protocol: str = "open-json"  # MQ codec: open-json|maxwell|canal-json
 
     @property
     def multi_table(self) -> bool:
@@ -94,7 +95,7 @@ def load_config(path: str) -> ChangefeedConfig:
         raise ValueError(f"unknown [filter] keys: {sorted(f_unknown)}")
 
     sink = raw.get("sink", {})
-    s_unknown = set(sink) - {"type", "partitions"}
+    s_unknown = set(sink) - {"type", "partitions", "protocol"}
     if s_unknown:
         raise ValueError(f"unknown [sink] keys: {sorted(s_unknown)}")
     sink_type = sink.get("type", "lake")
@@ -130,6 +131,7 @@ def load_config(path: str) -> ChangefeedConfig:
         max_files_per_trigger=raw.get("max-files-per-trigger") or None,
         sink_type=sink_type,
         sink_partitions=int(sink.get("partitions", 4)),
+        sink_protocol=sink.get("protocol", "open-json"),
     )
     if not os.path.exists(cfg.log):
         raise FileNotFoundError(f"changefeed log not found: {cfg.log}")
@@ -150,6 +152,7 @@ def build_engine(cfg: ChangefeedConfig):
         return MQChangefeed(
             cfg.log,
             FileMQSink(cfg.target, n_partitions=cfg.sink_partitions),
+            protocol=cfg.sink_protocol,
             ignore_txn_start_ts=cfg.ignore_txn_start_ts,
             event_filter=cfg.event_filter,
         )

@@ -175,6 +175,67 @@ def open_json_envelope() -> "F.Column":
     )
 
 
+def maxwell_envelope(database: str = "app", table: str = "transcripts"):
+    """Maxwell wire shape (cdc/sink/codec/maxwell.go):
+    database/table/type/ts envelope with the key columns and raw payload
+    under ``data`` (old image under ``old`` for updates)."""
+    op_name = (
+        F.when(F.col("op") == "I", "insert")
+        .when(F.col("op") == "D", "delete")
+        .otherwise("update")
+    )
+    return F.to_json(
+        F.struct(
+            F.lit(database).alias("database"),
+            F.coalesce(F.col("tbl"), F.lit(table)).alias("table"),
+            op_name.alias("type"),
+            F.col("commit_ts").alias("ts"),
+            F.struct(
+                F.col("conv_id"), F.col("turn_idx"), F.col("payload"),
+            ).alias("data"),
+            F.when(
+                F.col("pre_payload").isNotNull(),
+                F.struct(F.col("pre_payload").alias("payload")),
+            ).alias("old"),
+        )
+    )
+
+
+def canal_json_envelope(database: str = "app", table: str = "transcripts"):
+    """canal-JSON flat wire shape (cdc/sink/codec/canal.go flat message):
+    id/database/table/type/es/ts with ``data`` as a one-element array and
+    ``old`` for the pre-image, as Alibaba Canal's flatMessage emits."""
+    op_name = (
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "D", "DELETE")
+        .otherwise("UPDATE")
+    )
+    return F.to_json(
+        F.struct(
+            F.col("seq").alias("id"),
+            F.lit(database).alias("database"),
+            F.coalesce(F.col("tbl"), F.lit(table)).alias("table"),
+            op_name.alias("type"),
+            F.col("commit_ts").alias("es"),
+            F.col("commit_ts").alias("ts"),
+            F.array(
+                F.struct(F.col("conv_id"), F.col("turn_idx"), F.col("payload"))
+            ).alias("data"),
+            F.when(
+                F.col("pre_payload").isNotNull(),
+                F.array(F.struct(F.col("pre_payload").alias("payload"))),
+            ).alias("old"),
+        )
+    )
+
+
+MQ_PROTOCOLS = {
+    "open-json": open_json_envelope,
+    "maxwell": maxwell_envelope,
+    "canal-json": canal_json_envelope,
+}
+
+
 class MQChangefeed:
     """The reference's MQ (Kafka) changefeed flow (cdc/sink/mq.go:55-220):
     tail the changefeed log and PUBLISH every DML event — no LWW fold; the
@@ -199,15 +260,21 @@ class MQChangefeed:
         log_path: str,
         sink: FileMQSink,
         envelope=None,
+        protocol: str = "open-json",
         ignore_txn_start_ts: list[int] | None = None,
         event_filter: str | None = None,
     ):
+        if protocol not in MQ_PROTOCOLS:
+            raise ValueError(
+                f"unknown MQ protocol {protocol!r}; one of {sorted(MQ_PROTOCOLS)}"
+            )
         self.log_path = log_path
         self.sink = sink
-        # None → open_json_envelope(), resolved lazily at run time: Column
-        # construction needs an active SparkContext, and the CLI builds the
-        # engine before it builds the session
+        # None → MQ_PROTOCOLS[protocol](), resolved lazily at run time:
+        # Column construction needs an active SparkContext, and the CLI
+        # builds the engine before it builds the session
         self.envelope = envelope
+        self.protocol = protocol
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
 
@@ -256,7 +323,7 @@ class MQChangefeed:
                 dml = dml.filter(~F.expr(self.event_filter))
             envelope = (
                 self.envelope if self.envelope is not None
-                else open_json_envelope()
+                else MQ_PROTOCOLS[self.protocol]()
             )
             events = dml.withColumn("envelope", envelope)
             ddl_rows = [
