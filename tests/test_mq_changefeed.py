@@ -93,6 +93,30 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
+def test_topic_relay_replays_to_same_table(feed, tmp_path, spark):
+    """The full relay chain: log → MQ topic → consumer-reconstructed log →
+    engine replay must land the exact table the direct replay lands (the
+    TiCDC → Kafka → canal-consumer → table pairing, end to end)."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
+    from tests.helpers import assert_tables_equal
+
+    sink = FileMQSink(str(tmp_path / "relay_topic"), n_partitions=4)
+    MQChangefeed(feed.log_path, sink).run(spark)
+
+    log2 = topic_to_log(spark, sink, str(tmp_path / "relay_log"))
+    eng = ChangefeedEngine(log2, LakeTable(str(tmp_path / "relay_t"), num_buckets=8))
+    eng.bootstrap(spark, feed.base_path)
+    stats = eng.run(spark)
+    assert stats.epochs and stats.epochs[0].ddl_events >= 1  # DDL relayed
+
+    got = eng.final_state(spark).toPandas()
+    want = sequential_apply(feed.base_path, feed.log_path)
+    assert_tables_equal(got, want)
+
+
 @pytest.mark.parametrize("protocol,op_names", [
     ("maxwell", {"insert", "update", "delete"}),
     ("canal-json", {"INSERT", "UPDATE", "DELETE"}),

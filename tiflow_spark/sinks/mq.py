@@ -166,6 +166,7 @@ def open_json_envelope() -> "F.Column":
             F.col("op").alias("t"),
             F.col("commit_ts").alias("ts"),
             F.col("start_ts").alias("sts"),
+            F.col("seq"),
             F.col("conv_id"),
             F.col("turn_idx"),
             F.col("payload"),
@@ -349,3 +350,73 @@ class MQChangefeed:
             if barrier == barriers[-1]:
                 break
         return out
+
+
+def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
+    """Consumer-side relay: reconstruct a replayable changefeed log from an
+    open-json topic — the downstream half of the reference's MQ pairing
+    (TiCDC → Kafka → canal/flink consumer → table). Row messages become DML
+    events, the deduped ``ddl`` broadcasts become DDL events, and the final
+    checkpoint broadcast becomes the resolved-ts (R) mark — so
+    ``ChangefeedEngine`` can replay the reconstructed log with the SAME
+    fold/merge/fence semantics, and the relayed table byte-matches the
+    directly-replayed one (pinned in ``test_mq_changefeed``).
+
+    Distributed shape: one scan of the topic; envelope decode is a
+    ``from_json`` projection; the write is one narrow pass. The tiny ddl /
+    checkpoint control sets are handled driver-side, as in the engine.
+    """
+    import os as _os
+
+    from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+
+    topic = sink.read_topic(spark)
+    env_schema = (
+        "t string, ts long, sts long, seq long, conv_id string, "
+        "turn_idx int, payload string, pre_payload string, v int"
+    )
+    rows = (
+        topic.filter(F.col("kind") == "row")
+        .select(F.from_json("value", env_schema).alias("e"))
+        .select(
+            F.col("e.seq").alias("seq"),
+            F.col("e.t").alias("op"),
+            F.col("e.ts").alias("commit_ts"),
+            F.col("e.sts").alias("start_ts"),
+            F.col("e.v").alias("schema_version"),
+            F.col("e.conv_id").alias("conv_id"),
+            F.col("e.turn_idx").alias("turn_idx"),
+            F.col("e.payload").alias("payload"),
+            F.col("e.pre_payload").alias("pre_payload"),
+            F.lit(None).cast("string").alias("ddl"),
+            F.lit(None).cast("int").alias("partition_hint"),
+            F.lit(None).cast("string").alias("tbl"),
+        )
+    )
+    # control plane (tiny): dedupe the per-partition DDL broadcasts, take
+    # the newest checkpoint as the R mark
+    ctrl = topic.filter(F.col("kind").isin("ddl", "checkpoint")).collect()
+    ddls = {}
+    barrier = None
+    for r in ctrl:
+        v = json.loads(r["value"])
+        if r["kind"] == "ddl":
+            ddls[(v["commit_ts"], json.dumps(v["ddl"], sort_keys=True))] = v
+        else:
+            barrier = max(barrier or 0, v["resolved_ts"])
+    max_seq = rows.agg(F.max("seq")).collect()[0][0] or 0
+    extra = []
+    for i, ((cts, _), v) in enumerate(sorted(ddls.items())):
+        extra.append((max_seq + 1 + i, "DDL", cts, None, None, None, None,
+                      None, None, json.dumps(v["ddl"]), None, None))
+    if barrier is not None:
+        extra.append((max_seq + 1 + len(ddls), "R", barrier, None, None,
+                      None, None, None, None, None, None, None))
+    out = rows
+    if extra:
+        out = rows.unionByName(
+            spark.createDataFrame(extra, CHANGE_EVENT_SCHEMA)
+        )
+    _os.makedirs(out_dir, exist_ok=True)
+    out.write.mode("overwrite").parquet(out_dir)
+    return out_dir
