@@ -104,13 +104,16 @@ def test_topic_relay_replays_to_same_table(feed, tmp_path, spark):
     from tests.helpers import assert_tables_equal
 
     sink = FileMQSink(str(tmp_path / "relay_topic"), n_partitions=4)
-    MQChangefeed(feed.log_path, sink).run(spark)
+    src_epochs = MQChangefeed(feed.log_path, sink).run(spark, barrier_stride=1)
+    assert len(src_epochs) > 1  # multi-epoch publish
 
     log2 = topic_to_log(spark, sink, str(tmp_path / "relay_log"))
     eng = ChangefeedEngine(log2, LakeTable(str(tmp_path / "relay_t"), num_buckets=8))
     eng.bootstrap(spark, feed.base_path)
-    stats = eng.run(spark)
-    assert stats.epochs and stats.epochs[0].ddl_events >= 1  # DDL relayed
+    # epoch granularity survives the relay: one R mark per source epoch
+    stats = eng.run(spark, barrier_stride=1)
+    assert len(stats.epochs) == len(src_epochs)
+    assert sum(e.ddl_events for e in stats.epochs) >= 1  # DDL relayed
 
     got = eng.final_state(spark).toPandas()
     want = sequential_apply(feed.base_path, feed.log_path)

@@ -397,20 +397,23 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
     # the newest checkpoint as the R mark
     ctrl = topic.filter(F.col("kind").isin("ddl", "checkpoint")).collect()
     ddls = {}
-    barrier = None
+    barriers: set[int] = set()
     for r in ctrl:
         v = json.loads(r["value"])
         if r["kind"] == "ddl":
             ddls[(v["commit_ts"], json.dumps(v["ddl"], sort_keys=True))] = v
         else:
-            barrier = max(barrier or 0, v["resolved_ts"])
+            # every epoch's checkpoint becomes its own R mark, so the
+            # reconstructed log keeps the original epoch granularity (a
+            # relay consumer can resume mid-stream exactly like the source)
+            barriers.add(v["resolved_ts"])
     max_seq = rows.agg(F.max("seq")).collect()[0][0] or 0
     extra = []
     for i, ((cts, _), v) in enumerate(sorted(ddls.items())):
         extra.append((max_seq + 1 + i, "DDL", cts, None, None, None, None,
                       None, None, json.dumps(v["ddl"]), None, None))
-    if barrier is not None:
-        extra.append((max_seq + 1 + len(ddls), "R", barrier, None, None,
+    for j, b in enumerate(sorted(barriers)):
+        extra.append((max_seq + 1 + len(ddls) + j, "R", b, None, None,
                       None, None, None, None, None, None, None))
     out = rows
     if extra:
