@@ -209,3 +209,84 @@ def test_config_validation_rejects_unknown_keys(tmp_path, feed):
         fh.write('target = "x"\n')
     with pytest.raises(ValueError, match="missing required"):
         load_config(p2)
+
+
+def test_engine_filter_null_semantics(spark):
+    """A drop-predicate that evaluates to NULL must KEEP the row (it did
+    not match): deletes carry payload=NULL, so a payload predicate is NULL
+    on every delete and bare ~pred would silently drop them all. Same for
+    a NULL start_ts against an ignore list."""
+    from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+    from tiflow_spark.operators.filters import engine_event_filters
+
+    rows = [
+        # (seq, op, commit_ts, start_ts, ver, conv, turn, payload, pre, ddl, ph, tbl)
+        (1, "U", 10, 5, None, "c1", 0, '{"text": "spam here"}', None, None, None, None),
+        (2, "U", 11, 6, None, "c1", 1, '{"text": "clean"}', None, None, None, None),
+        (3, "D", 12, 7, None, "c1", 2, None, None, None, None, None),  # NULL payload
+        (4, "U", 13, None, None, "c1", 3, '{"text": "clean2"}', None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    kept = engine_event_filters(df, None, "payload LIKE '%spam%'").collect()
+    assert sorted(r["seq"] for r in kept) == [2, 3, 4]  # delete (NULL) kept
+
+    kept = engine_event_filters(df, [5], None).collect()
+    assert sorted(r["seq"] for r in kept) == [2, 3, 4]  # NULL start_ts kept
+
+
+def test_event_filter_on_payload_keeps_deletes(feed, tmp_path, spark):
+    """e2e twin of the NULL-semantics unit test: a payload predicate must
+    not swallow delete events (regression: final state would keep rows the
+    feed deleted)."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    pred = "payload LIKE '%zz-never-matches-zz%'"
+    t1 = str(tmp_path / "t_payload_filter")
+    e1 = ChangefeedEngine(f.log_path, LakeTable(t1, num_buckets=8),
+                          event_filter=pred)
+    e1.bootstrap(spark, f.base_path)
+    e1.run(spark)
+    # predicate matches nothing (and is NULL on deletes) => identical to
+    # the unfiltered replay, deletes applied
+    t2 = str(tmp_path / "t_no_filter")
+    e2 = ChangefeedEngine(f.log_path, LakeTable(t2, num_buckets=8))
+    e2.bootstrap(spark, f.base_path)
+    e2.run(spark)
+    assert_tables_equal(
+        e1.final_state(spark).toPandas(), e2.final_state(spark).toPandas()
+    )
+
+
+def test_advance_to_applies_engine_filters(feed, tmp_path, spark):
+    """The streaming front-end's unit (advance_to) must apply the same
+    filter config as the batch run — regression: MultiTableEngine's
+    advance_to built its sub-engines without the filters."""
+    from tiflow_spark.engine import MultiTableEngine
+    from tiflow_spark.lake import LakeTable
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    ignored = _some_start_ts(f.log_path)
+
+    def mk(path):
+        eng = MultiTableEngine(
+            f.log_path,
+            {"transcripts": LakeTable(str(path), num_buckets=8)},
+            ignore_txn_start_ts=ignored,
+        )
+        eng.bootstrap(spark, {"transcripts": f.base_path})
+        return eng
+
+    batch = mk(tmp_path / "mt_batch")
+    batch.run(spark)
+    ticked = mk(tmp_path / "mt_ticked")
+    ticked.advance_to(spark, f.max_commit_ts)
+
+    assert_tables_equal(
+        ticked.final_state(spark, "transcripts").toPandas(),
+        batch.final_state(spark, "transcripts").toPandas(),
+    )

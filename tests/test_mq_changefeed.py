@@ -175,3 +175,49 @@ partitions = 2
     state = json.loads(q.stdout)
     assert state["barrier_ts"] == feed.max_commit_ts
     assert sum(state["offsets"].values()) > 0
+
+
+def test_topic_to_log_refuses_wrong_protocol(feed, tmp_path, spark):
+    """Relaying a maxwell topic through the open-json decoder would yield
+    NULL-op rows and a silently-empty change stream — must refuse."""
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
+
+    sink = FileMQSink(str(tmp_path / "mx_topic"), n_partitions=2)
+    MQChangefeed(feed.log_path, sink, protocol="maxwell").run(spark)
+    with pytest.raises(ValueError, match="maxwell"):
+        topic_to_log(spark, sink, str(tmp_path / "mx_log"))
+
+
+def test_cli_mq_rejects_unsupported_options(feed, tmp_path):
+    cfg_path = str(tmp_path / "mq_bad.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{feed.log_path}"
+target = "{tmp_path / 'topic_bad'}"
+target-ts = 5000
+
+[sink]
+type = "mq"
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "query", "--config", cfg_path],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode != 0
+    assert "target-ts" in (out.stderr + out.stdout)
+
+
+def test_cli_rejects_cluster_master(feed, tmp_path):
+    cfg_path = str(tmp_path / "m.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f'log = "{feed.log_path}"\ntarget = "{tmp_path / "t"}"\n'
+                 f'base = "{feed.base_path}"\n')
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "run",
+         "--config", cfg_path, "--master", "yarn"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode != 0
+    assert "unsupported --master" in (out.stderr + out.stdout)

@@ -40,12 +40,19 @@ def _session(master: str):
         from pyspark.sql import SparkSession
 
         return SparkSession.builder.getOrCreate()
+    if not (master.startswith("local[") and master.endswith("]")):
+        # silently building a local session for 'yarn'/'spark://...' would
+        # run the job on this machine while the user believes it was
+        # submitted to a cluster — refuse; cluster masters go through
+        # spark-submit with --master submit here
+        raise SystemExit(
+            f"unsupported --master {master!r}: use local[N] or 'submit' "
+            "(inherit the enclosing spark-submit's configuration)"
+        )
     from tiflow_spark.session import get_spark
 
-    cpus = None
-    if master.startswith("local[") and master.endswith("]"):
-        n = master[len("local["):-1]
-        cpus = None if n == "*" else int(n)
+    n = master[len("local["):-1]
+    cpus = None if n == "*" else int(n)
     return get_spark(app="tiflow_spark_cli", cpus=cpus)
 
 
@@ -148,6 +155,20 @@ def _stream(spark, cfg: ChangefeedConfig, engine, trigger: float | None) -> dict
 def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
     """MQ-sink changefeed: create/run publish outstanding barriers to the
     topic; query prints the topic manifest (offsets + barrier)."""
+    unsupported = [
+        name for name, v in (
+            ("target-ts", cfg.target_ts),
+            ("syncpoint-every", cfg.syncpoint_every),
+            ("start-ts", cfg.start_ts or None),
+            ("base", cfg.base),
+        ) if v
+    ]
+    if unsupported:
+        # ignoring configured options would let the user believe they took
+        # effect — fail like the multi-table branch does
+        raise SystemExit(
+            f"[sink] type='mq' does not support: {', '.join(unsupported)}"
+        )
     if a.verb == "query":
         print(json.dumps(engine.sink.topic_state(), indent=2, sort_keys=True))
         return 0
@@ -155,7 +176,11 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
         raise SystemExit(f"{a.verb} is not supported for [sink] type='mq'")
     spark = _session(a.master)
     try:
-        epochs = engine.run(spark, barrier_stride=cfg.barrier_stride)
+        epochs = engine.run(
+            spark,
+            barrier_stride=cfg.barrier_stride,
+            validate_resolved=cfg.validate_resolved,
+        )
         print(json.dumps({"verb": a.verb, "result": {
             "epochs": len(epochs),
             "messages": sum(e["messages"] for e in epochs),

@@ -43,7 +43,10 @@ from tiflow_spark.model import (
     transcript_struct,
 )
 from tiflow_spark.operators.compactor import compact_changes
-from tiflow_spark.operators.filters import REPLICABLE_DDL_ACTIONS
+from tiflow_spark.operators.filters import (
+    REPLICABLE_DDL_ACTIONS,
+    engine_event_filters,
+)
 from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
 
@@ -251,6 +254,15 @@ def decode_events(
     return parsed.select(*cols)
 
 
+def pick_barrier(barriers: list[int], stride: int) -> int:
+    """Barrier-stride selection shared by every replay loop: stride <= 0
+    coalesces all outstanding marks into one epoch (max throughput);
+    stride k takes the k-th outstanding mark (k=1 = one epoch per mark)."""
+    if stride <= 0:
+        return barriers[-1]
+    return barriers[min(stride, len(barriers)) - 1]
+
+
 class ChangefeedEngine:
     """Replays a changefeed log into a LakeTable, epoch by epoch.
 
@@ -372,10 +384,7 @@ class ChangefeedEngine:
                     barriers.append(target_ts)
             if not barriers:
                 break
-            if barrier_stride <= 0:
-                barrier = barriers[-1]
-            else:
-                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            barrier = pick_barrier(barriers, barrier_stride)
             # sync-point clamp: never coalesce past the next sync target —
             # the sync snapshot must land exactly on a resolved mark
             is_syncpoint = False
@@ -488,10 +497,10 @@ class ChangefeedEngine:
         # post-shuffle projection — measured ~20× cheaper than building a
         # columnar cache of the folded set.
         dml = sliced.filter(F.col("op").isin(*DML_OPS))
-        if self.ignore_txn_start_ts:  # F3, scan-pushed
-            dml = dml.filter(~F.col("start_ts").isin(self.ignore_txn_start_ts))
-        if self.event_filter:  # F5: drop rows matching the predicate
-            dml = dml.filter(~F.expr(self.event_filter))
+        # F3 + F5, scan-pushed, NULL-evaluating predicates keep the row
+        dml = engine_event_filters(
+            dml, self.ignore_txn_start_ts, self.event_filter
+        )
         if truncate_ts is not None:
             # pre-truncate events cannot survive — drop them before the fold
             # (pushdown: the predicate reaches the scan)
@@ -749,10 +758,7 @@ class MultiTableEngine:
             )
             if not barriers:
                 break
-            if barrier_stride <= 0:
-                barrier = barriers[-1]
-            else:
-                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            barrier = pick_barrier(barriers, barrier_stride)
             barrier_seq = min(
                 (seq for seq, ts in resolved if ts >= barrier), default=None
             )
@@ -809,7 +815,14 @@ class MultiTableEngine:
                 low_ts=m["checkpoint_ts"],
                 high_ts=barrier_ts,
             )
-            sub = ChangefeedEngine(self.log_path, table)
+            # same filter config as the batch path — without it the
+            # streaming front-end would silently apply events the batch
+            # run drops (front-ends must stay byte-identical)
+            sub = ChangefeedEngine(
+                self.log_path, table,
+                ignore_txn_start_ts=self.ignore_txn_start_ts,
+                event_filter=self.event_filter,
+            )
             out.append(
                 sub.apply_slice(
                     spark, sliced, m, barrier_ts,

@@ -110,28 +110,43 @@ def connected_components(
         .select(F.col("u").alias("node"), "lbl")
     )
     prev_sum = None
+    prev_cached = None
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             # propagate: each node takes min(own label, neighbors' labels)
             neighbor_lbl = (
                 edges.join(labels, edges["v"] == labels["node"])
                 .select(F.col("u").alias("node"), "lbl")
             )
-            # localCheckpoint (eager) both caches the round's result AND
-            # truncates the LOGICAL plan — persist alone keeps the
-            # cumulative plan, which doubles per round (labels appears in
-            # both join and union) and blows up Catalyst beyond ~15 rounds.
-            # Local (not reliable) checkpointing is the right trade here:
-            # losing an executor mid-CC just reruns the clustering job.
             labels = (
                 labels.union(neighbor_lbl)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .persist()
             )
-            cur_sum = labels.agg(
+            cur_sum = labels.agg(  # materializes the persist
                 F.sum("lbl").alias("s"), F.count("*").alias("n")
             ).collect()[0]
+            # persist caches the DATA but keeps the cumulative LOGICAL plan,
+            # which doubles per round (labels feeds both the join and the
+            # union) and blows up Catalyst past ~15 rounds; an eager
+            # localCheckpoint every few rounds truncates the plan while the
+            # explicit per-round unpersist keeps block storage at one live
+            # copy (checkpoint copies are bounded at max_iter/6). Local (not
+            # reliable) checkpointing is the right trade: losing an executor
+            # mid-CC just reruns the clustering job.
+            is_checkpoint = i % 6 == 5
+            if is_checkpoint:
+                cp = labels.localCheckpoint(eager=True)
+                labels.unpersist()  # cp's storage is independent
+                labels = cp
+            if prev_cached is not None:
+                # never unpersist a checkpointed round: its lineage is
+                # truncated, so evicted partitions could not be recomputed
+                df, was_cp = prev_cached
+                if not was_cp:
+                    df.unpersist()
+            prev_cached = (labels, is_checkpoint)
             key = (cur_sum["s"], cur_sum["n"])
             if key == prev_sum:  # labels only decrease → equal sum = fixpoint
                 break

@@ -144,3 +144,27 @@ def cyclic_mark_filter(
     return joined.filter(
         F.col("replica_id").isNull() | ~F.col("replica_id").isin(filter_replica_ids)
     )
+
+
+def engine_event_filters(
+    df: DataFrame,
+    ignore_txn_start_ts: list[int] | None = None,
+    event_filter: str | None = None,
+) -> DataFrame:
+    """The engine-level DML filter pair with explicit NULL semantics: a row
+    whose drop-predicate evaluates to NULL is KEPT (it did not match), and
+    a NULL start_ts never matches an ignore list — mirroring the
+    sequential oracle (``ev.get("start_ts") in ignored`` is False for
+    None). Bare ``filter(~pred)`` would silently DROP NULL-evaluating rows
+    (NOT NULL = NULL = not-true), e.g. every delete under a payload
+    predicate — the one shared implementation keeps the batch engine, the
+    streaming front-end, and the MQ changefeed byte-identical."""
+    if ignore_txn_start_ts:
+        df = df.filter(
+            ~F.coalesce(
+                F.col("start_ts").isin(list(ignore_txn_start_ts)), F.lit(False)
+            )
+        )
+    if event_filter:
+        df = df.filter(~F.coalesce(F.expr(event_filter), F.lit(False)))
+    return df

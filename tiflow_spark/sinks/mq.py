@@ -82,6 +82,7 @@ class FileMQSink:
         barrier_ts: int,
         envelope_col: str = "envelope",
         ddl_rows: list | None = None,
+        protocol: str | None = None,
     ) -> bool:
         """Append one epoch's events (already cut to the barrier) as an
         offset-ordered segment + per-partition checkpoint messages.
@@ -124,30 +125,32 @@ class FileMQSink:
         offsets = {
             p: state["offsets"][p] + counts.get(p, 0) for p in state["offsets"]
         }
-        # DDL broadcast: every partition gets every DDL (mq.go EmitDDLEvent),
-        # in commit-ts order, after the data rows
+        # control broadcast, ONE write job for all of it: every partition
+        # gets every DDL (mq.go EmitDDLEvent) in commit-ts order after the
+        # data rows, then the checkpoint message carrying the global
+        # barrier — all offsets are precomputable driver-side, so a
+        # per-DDL write loop would just pay one Spark job per DDL
+        ctl_rows = []
         for cts, ddl in sorted(ddl_rows or []):
-            d_rows = [
-                (int(p), offsets[p], "ddl",
-                 json.dumps({"commit_ts": cts, "ddl": json.loads(ddl)}))
-                for p in offsets
-            ]
-            spark.createDataFrame(
-                d_rows, "partition int, offset long, kind string, value string"
-            ).repartition(1).write.partitionBy("partition").mode("append").json(out)
-            offsets = {p: offsets[p] + 1 for p in offsets}
-        # checkpoint broadcast: one control message per partition, AFTER the
-        # data rows (its offset = new tail), carrying the global barrier
-        ck_rows = [
-            (int(p), offsets[p], "checkpoint", json.dumps({"resolved_ts": barrier_ts}))
+            ctl_rows.append(
+                ("ddl", json.dumps({"commit_ts": cts, "ddl": json.loads(ddl)}))
+            )
+        ctl_rows.append(("checkpoint", json.dumps({"resolved_ts": barrier_ts})))
+        bcast = [
+            (int(p), offsets[p] + i, kind, value)
             for p in offsets
+            for i, (kind, value) in enumerate(ctl_rows)
         ]
         spark.createDataFrame(
-            ck_rows, "partition int, offset long, kind string, value string"
+            bcast, "partition int, offset long, kind string, value string"
         ).repartition(1).write.partitionBy("partition").mode("append").json(out)
-        offsets = {p: offsets[p] + 1 for p in offsets}
+        offsets = {p: offsets[p] + len(ctl_rows) for p in offsets}
 
-        self._commit_state({"epoch": epoch, "offsets": offsets, "barrier_ts": barrier_ts})
+        state_out = {"epoch": epoch, "offsets": offsets, "barrier_ts": barrier_ts}
+        # record the codec so consumers (topic_to_log) can refuse topics
+        # they cannot decode instead of silently producing NULL events
+        state_out["protocol"] = protocol or state.get("protocol")
+        self._commit_state(state_out)
         return True
 
     # -------------------------------------------------------------- read
@@ -289,11 +292,20 @@ class MQChangefeed:
         spark: SparkSession,
         max_epochs: int | None = None,
         barrier_stride: int = 0,
+        validate_resolved: bool = True,
     ) -> list[dict]:
         """Publish all outstanding barriers; returns one stats dict per
-        published epoch. Same stride semantics as ChangefeedEngine.run."""
-        from tiflow_spark.engine import read_control
+        published epoch. Same stride semantics as ChangefeedEngine.run;
+        ``validate_resolved`` enforces the resolved-ts contract over the
+        unpublished tail exactly like the lake path (a feed that promises
+        completeness and then violates it is refused, not published)."""
+        from tiflow_spark.engine import (
+            pick_barrier,
+            read_control,
+            validate_resolved_contract,
+        )
         from tiflow_spark.model import DML_OPS, OP_DDL, OP_RESOLVED
+        from tiflow_spark.operators.filters import engine_event_filters
         from tiflow_spark.operators.watermark import watermark_cut
 
         state = self.sink.topic_state()
@@ -302,6 +314,12 @@ class MQChangefeed:
             spark, self.log_path, chk, ("op", "commit_ts", "seq", "ddl")
         )
         log = self.read_log(spark)
+        if validate_resolved:
+            marks = [
+                (r["seq"], r["commit_ts"])
+                for r in control if r["op"] == OP_RESOLVED
+            ]
+            validate_resolved_contract(spark, log, marks)
         out: list[dict] = []
         while True:
             barriers = sorted(
@@ -310,18 +328,12 @@ class MQChangefeed:
             )
             if not barriers:
                 break
-            if barrier_stride <= 0:
-                barrier = barriers[-1]
-            else:
-                barrier = barriers[min(barrier_stride, len(barriers)) - 1]
+            barrier = pick_barrier(barriers, barrier_stride)
             sliced = watermark_cut(log, low_ts=chk, high_ts=barrier)
             dml = sliced.filter(F.col("op").isin(*DML_OPS))
-            if self.ignore_txn_start_ts:
-                dml = dml.filter(
-                    ~F.col("start_ts").isin(self.ignore_txn_start_ts)
-                )
-            if self.event_filter:
-                dml = dml.filter(~F.expr(self.event_filter))
+            dml = engine_event_filters(
+                dml, self.ignore_txn_start_ts, self.event_filter
+            )
             envelope = (
                 self.envelope if self.envelope is not None
                 else MQ_PROTOCOLS[self.protocol]()
@@ -333,7 +345,8 @@ class MQChangefeed:
             ]
             epoch = self.sink.topic_state()["epoch"] + 1
             published = self.sink.write_epoch(
-                events, epoch=epoch, barrier_ts=barrier, ddl_rows=ddl_rows
+                events, epoch=epoch, barrier_ts=barrier, ddl_rows=ddl_rows,
+                protocol=None if self.envelope is not None else self.protocol,
             )
             n = sum(
                 v - state["offsets"][p]
@@ -370,6 +383,15 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
 
     from tiflow_spark.model import CHANGE_EVENT_SCHEMA
 
+    recorded = sink.topic_state().get("protocol")
+    if recorded is not None and recorded != "open-json":
+        # decoding a maxwell/canal-json topic with the open-json schema
+        # would yield NULL op on every row and silently relay an empty
+        # change stream — refuse instead
+        raise ValueError(
+            f"topic was published with protocol {recorded!r}; "
+            "topic_to_log can only reconstruct open-json topics"
+        )
     topic = sink.read_topic(spark)
     env_schema = (
         "t string, ts long, sts long, seq long, conv_id string, "
@@ -407,7 +429,18 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
             # reconstructed log keeps the original epoch granularity (a
             # relay consumer can resume mid-stream exactly like the source)
             barriers.add(v["resolved_ts"])
-    max_seq = rows.agg(F.max("seq")).collect()[0][0] or 0
+    agg = rows.agg(
+        F.max("seq").alias("max_seq"),
+        F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    if (agg["bad"] or 0) > 0:
+        # custom envelope or pre-protocol topic the open-json schema can't
+        # decode — fail loudly rather than relay a silently-empty stream
+        raise ValueError(
+            f"{agg['bad']} row messages did not decode as open-json "
+            "envelopes (op is null) — wrong codec for this topic"
+        )
+    max_seq = agg["max_seq"] or 0
     extra = []
     for i, ((cts, _), v) in enumerate(sorted(ddls.items())):
         extra.append((max_seq + 1 + i, "DDL", cts, None, None, None, None,

@@ -90,6 +90,11 @@ def _submit_once(cores: int, events: int, trials: int = 1) -> dict | None:
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("{"):
             print(line)
+            if proc.returncode != 0:
+                # the worker prints its JSON before failing (e.g. oracle
+                # mismatch exits 1) — propagate the failure, don't let the
+                # parsed line mask it
+                return None
             return json.loads(line)
     return None
 
