@@ -238,3 +238,69 @@ def test_partition_cut_requires_where():
         reg.apply_ddl({"action": "drop_partition"}, 100)
     with pytest.raises(ValueError, match="where"):
         reg.apply_ddl({"action": "truncate_partition", "where": ""}, 100)
+
+
+def test_modify_column_numeric_truncation(spark, tmp_path):
+    """numeric→int modify_column: stored double files truncate at read time
+    and a fractional payload lexeme truncates at decode time ('1.5' → 1,
+    not NULL) — evolve_cast's double fallback, pinned against the oracle's
+    int(float(v)) rule; a non-numeric lexeme still nulls out."""
+    events = [
+        ev(0, "DDL", 101, ddl={"action": "add_column", "name": "score",
+                               "type": "double", "default": None}),
+        ev(1, "U", 102, "c1", 0,
+           {"role": "user", "text": "frac stored", "tool": None,
+            "ts": "2024-01-01T00:01:00", "score": 7.9}, ver=None),
+        ev(2, "R", 103),  # epoch 1 commits: score=7.9 stored as double
+        ev(3, "DDL", 104, ddl={"action": "modify_column", "name": "score",
+                               "type": "int"}),
+        ev(4, "U", 105, "c2", 0,
+           {"role": "user", "text": "frac decoded", "tool": None,
+            "ts": "2024-01-01T00:02:00", "score": 1.5}, ver=None),
+        ev(5, "U", 106, "c3", 0,
+           {"role": "user", "text": "malformed", "tool": None,
+            "ts": "2024-01-01T00:03:00", "score": "not a number"}, ver=None),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, BASE)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    stats = eng.run(spark, barrier_stride=1)
+    assert len(stats.epochs) == 2
+    got = eng.final_state(spark).toPandas()
+    assert_tables_equal(got, sequential_apply(base_fp, log_dir))
+    by_key = {r.conv_id: r.score for r in got.itertuples()}
+    assert by_key["c1"] == 7     # stored 7.9 double → int file cast
+    assert by_key["c2"] == 1     # payload lexeme "1.5" → 1, not NULL
+    import pandas as pd
+
+    assert pd.isna(by_key["c3"])  # malformed still nulls
+
+
+def test_partition_cut_null_predicate_keeps_key(spark, tmp_path):
+    """A cut predicate that evaluates to NULL for some key KEEPS that key
+    (the oracle's _keys_matching rule: a NULL predicate did not match) —
+    exercised on both paths: in-flight events (engine cut filter) and
+    already-committed lake rows (merge delete_where)."""
+    events = [
+        # epoch 1 commits one row where the predicate is NULL and one where
+        # it is true — both already in the lake when the cut arrives
+        ev(0, "I", 101, "c3", 0, pl("null-predicate key, committed")),
+        ev(1, "I", 102, "c4", 6, pl("true-predicate key, committed")),
+        ev(2, "R", 103),
+        # epoch 2: in-flight twins of both cases, then the cut
+        ev(3, "I", 104, "c5", 0, pl("null-predicate key, in-flight")),
+        ev(4, "I", 105, "c6", 8, pl("true-predicate key, in-flight")),
+        ev(5, "DDL", 106, ddl={"action": "drop_partition",
+                               "where": "nullif(turn_idx, 0) >= 5"}),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, PART_BASE)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark, barrier_stride=1)
+    got = eng.final_state(spark).toPandas()
+    assert_tables_equal(got, sequential_apply(base_fp, log_dir))
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    # NULL-predicate keys (turn 0) survive on both paths; turn>=5 wiped
+    assert keys == {("b1", 0), ("c3", 0), ("c5", 0)}

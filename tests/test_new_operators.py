@@ -308,3 +308,37 @@ def test_craft_wire_round_trips(spark):
         vm, i3 = zig(body, i2)
         assert i3 - i2 == l1 and i3 == len(body)
         assert uid >= 0 and vm >= 0
+
+
+def test_library_filters_null_keep(spark):
+    """The standalone filter library shares the engine's NULL-keep
+    semantics (drop_matching): a drop-predicate evaluating to NULL keeps
+    the row, for every library form — not just the engine_event_filters
+    composition."""
+    from tiflow_spark.operators.filters import (
+        expr_filter,
+        expr_filter_per_op,
+        ignore_start_ts_filter,
+        op_class_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "U", 5, "spam"), (2, "U", 6, "ok"), (3, "D", 7, None),
+         (4, "U", None, "ok2")],
+        "seq long, op string, start_ts long, payload string",
+    )
+    # NULL payload (the delete) is kept under a payload predicate
+    kept = expr_filter(df, "payload LIKE '%spam%'")
+    assert sorted(r.seq for r in kept.collect()) == [2, 3, 4]
+    # NULL start_ts never matches an ignore list
+    kept = ignore_start_ts_filter(df, [5])
+    assert sorted(r.seq for r in kept.collect()) == [2, 3, 4]
+    # op is non-null by contract but the same rule holds
+    kept = op_class_filter(
+        df.withColumn("op", F.expr("CASE WHEN seq = 4 THEN NULL ELSE op END")),
+        ["D"],
+    )
+    assert sorted(r.seq for r in kept.collect()) == [1, 2, 4]
+    # per-op: a NULL-evaluating per-op predicate keeps the row
+    kept = expr_filter_per_op(df, delete="payload LIKE '%x%'")
+    assert sorted(r.seq for r in kept.collect()) == [1, 2, 3, 4]

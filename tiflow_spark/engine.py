@@ -40,6 +40,7 @@ from tiflow_spark.model import (
     KEY_COLS,
     OP_DDL,
     OP_RESOLVED,
+    evolve_cast,
     transcript_struct,
 )
 from tiflow_spark.operators.compactor import compact_changes
@@ -241,12 +242,14 @@ def decode_events(
         default_lit = F.lit(f.default).cast(f.type)
         for v in registry.versions:
             src = next((vf.name for vf in v.fields if vf.fid == f.fid), None)
-            # try_cast covers modify_column and the raw-string union fields:
-            # old-version payloads evolve to the target type at decode time,
-            # malformed values null out (ANSI cast would abort the job on
-            # e.g. a pre-modify string under a now-int column)
+            # evolve_cast covers modify_column and the raw-string union
+            # fields: old-version payloads evolve to the target type at
+            # decode time, malformed values null out, and numeric→integral
+            # modifies truncate through double (oracle _coerce parity)
             branch = (
-                F.col(f"_p.{src}").try_cast(f.type) if src is not None else default_lit
+                evolve_cast(F.col(f"_p.{src}"), f.type)
+                if src is not None
+                else default_lit
             )
             cond = F.col("_ver") == v.version
             expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
@@ -508,9 +511,15 @@ class ChangefeedEngine:
         for cut_ts, cut_where in partition_cuts:
             # events at/before the cut whose key falls in the dropped
             # partition cannot survive; the predicate is over key columns,
-            # which are top-level log columns, so it stays in the scan
+            # which are top-level log columns, so it stays in the scan.
+            # NULL-keep via coalesce: a key the predicate cannot evaluate is
+            # not in the partition (matches the oracle's DuckDB
+            # _keys_matching, where a NULL predicate keeps the key)
             dml = dml.filter(
-                ~((F.col("commit_ts") <= cut_ts) & F.expr(cut_where))
+                ~F.coalesce(
+                    (F.col("commit_ts") <= cut_ts) & F.expr(cut_where),
+                    F.lit(False),
+                )
             )
         folded = compact_changes(
             dml, KEY_COLS, ["payload", "schema_version"], stats=True

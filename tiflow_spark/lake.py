@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tiflow_spark.model import evolve_cast
 from tiflow_spark.registry import SchemaRegistry
 
 BUCKET_COL = "_bucket"
@@ -245,9 +246,14 @@ class LakeTable:
             for dst_name, src_name, default in registry.projection(v, cur.version):
                 ftype = next(f.type for f in cur.fields if f.name == dst_name)
                 if src_name is not None:
-                    # cast covers modify_column: files written under the old
-                    # type evolve at read time, like every other ALTER
-                    cols.append(F.col(src_name).cast(ftype).alias(dst_name))
+                    # evolve_cast covers modify_column: files written under
+                    # the old type evolve at read time, like every other
+                    # ALTER — null on malformed (ANSI cast would abort the
+                    # scan), double-fallback for integral targets, same rule
+                    # as the decode path so both sides agree with the oracle
+                    cols.append(
+                        evolve_cast(F.col(src_name), ftype).alias(dst_name)
+                    )
                 else:
                     cols.append(F.lit(default).cast(ftype).alias(dst_name))
             parts.append(df.select(*cols))
@@ -423,8 +429,12 @@ class LakeTable:
                 },
             )
             if delete_where is not None:
-                # key-column predicate → stays in the parquet scan (pushdown)
-                existing = existing.filter(~F.expr(delete_where))
+                # key-column predicate → stays in the parquet scan (pushdown).
+                # NULL-keep: a row the predicate cannot evaluate is not in
+                # the dropped partition (oracle's _keys_matching semantics)
+                existing = existing.filter(
+                    ~F.coalesce(F.expr(delete_where), F.lit(False))
+                )
             strategy = os.environ.get("TIFLOW_MERGE_STRATEGY", "agg")
             if strategy == "join":
                 # anti-join form: exchange snapshot by key + SMJ/SHJ, then

@@ -95,6 +95,23 @@ def event_order_cols(df_prefix: str = "") -> list[Column]:
     ]
 
 
+_INTEGRAL_TYPES = ("int", "integer", "bigint", "long", "smallint", "tinyint")
+
+
+def evolve_cast(col: Column, typ: str) -> Column:
+    """Schema-evolution cast (modify_column / type-recycled decode): null on
+    malformed input (ANSI cast would abort the job), and integral targets
+    fall back through double so a fractional lexeme truncates
+    (``'1.5' -> 1``) instead of nulling — matching the sequential oracle's
+    ``_coerce`` (``int(float(v))``). The direct try_cast is preferred so
+    integer lexemes wider than double's 53-bit mantissa stay exact."""
+    if typ.lower() in _INTEGRAL_TYPES:
+        return F.coalesce(
+            col.try_cast(typ), col.try_cast("double").try_cast(typ)
+        )
+    return col.try_cast(typ)
+
+
 def transcript_struct(fields: list[tuple[int, str, str, object]]) -> T.StructType:
     """StructType for a payload JSON at a given registry version's fields.
 

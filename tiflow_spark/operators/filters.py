@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 SYSTEM_SCHEMAS = ("information_schema", "mysql", "performance_schema", "sys")
 
 
+def drop_matching(df: DataFrame, drop_pred: Column) -> DataFrame:
+    """Drop rows MATCHING ``drop_pred`` with explicit NULL semantics: a row
+    whose drop-predicate evaluates to NULL is KEPT (it did not match) —
+    mirroring the sequential oracle (``ev.get("start_ts") in ignored`` is
+    False for None) and the reference's rule-engine behavior (an
+    unevaluable rule does not match, pkg/filter/filter.go:72-79). Bare
+    ``filter(~pred)`` would silently DROP NULL-evaluating rows
+    (NOT NULL = NULL = not-true), e.g. every delete under a payload
+    predicate. Every drop-style filter in this module goes through here so
+    the library functions, the batch engine, the streaming front-end, and
+    the MQ changefeed share one implementation."""
+    return df.filter(~F.coalesce(drop_pred, F.lit(False)))
+
+
 def table_filter(
     df: DataFrame,
     rules: list[str],
@@ -38,10 +52,11 @@ def table_filter(
 
 
 def ignore_start_ts_filter(df: DataFrame, ignore_ts: list[int]) -> DataFrame:
-    """Drop whole transactions by start_ts (pkg/filter/filter.go:72-79)."""
+    """Drop whole transactions by start_ts (pkg/filter/filter.go:72-79).
+    A NULL start_ts never matches an ignore list (see drop_matching)."""
     if not ignore_ts:
         return df
-    return df.filter(~F.col("start_ts").isin(ignore_ts))
+    return drop_matching(df, F.col("start_ts").isin(list(ignore_ts)))
 
 
 def op_class_filter(df: DataFrame, drop_ops: list[str]) -> DataFrame:
@@ -49,14 +64,15 @@ def op_class_filter(df: DataFrame, drop_ops: list[str]) -> DataFrame:
     (dm/syncer/filter.go:27-110)."""
     if not drop_ops:
         return df
-    return df.filter(~F.col("op").isin(drop_ops))
+    return drop_matching(df, F.col("op").isin(list(drop_ops)))
 
 
 def expr_filter(df: DataFrame, sql_predicate: str) -> DataFrame:
     """DM expression filter: arbitrary SQL predicate per row — rows MATCHING
-    the expression are dropped (dm/syncer/expr_filter_group.go:83-203).
-    Literally Catalyst's job: ``F.expr`` compiles it once, vectorized."""
-    return df.filter(~F.expr(sql_predicate))
+    the expression are dropped; NULL-evaluating rows are kept
+    (dm/syncer/expr_filter_group.go:83-203). Literally Catalyst's job:
+    ``F.expr`` compiles it once, vectorized."""
+    return drop_matching(df, F.expr(sql_predicate))
 
 
 def expr_filter_per_op(
@@ -93,7 +109,7 @@ def expr_filter_per_op(
         drop = drop | ((op == "U") & upd_old & upd_new)
     if delete:
         drop = drop | ((op == "D") & F.expr(delete))
-    return df.filter(~drop)
+    return drop_matching(df, drop)
 
 
 REPLICABLE_DDL_ACTIONS = (
@@ -151,20 +167,12 @@ def engine_event_filters(
     ignore_txn_start_ts: list[int] | None = None,
     event_filter: str | None = None,
 ) -> DataFrame:
-    """The engine-level DML filter pair with explicit NULL semantics: a row
-    whose drop-predicate evaluates to NULL is KEPT (it did not match), and
-    a NULL start_ts never matches an ignore list — mirroring the
-    sequential oracle (``ev.get("start_ts") in ignored`` is False for
-    None). Bare ``filter(~pred)`` would silently DROP NULL-evaluating rows
-    (NOT NULL = NULL = not-true), e.g. every delete under a payload
-    predicate — the one shared implementation keeps the batch engine, the
-    streaming front-end, and the MQ changefeed byte-identical."""
+    """The engine-level DML filter pair: a thin composition of the library
+    filters, which all share drop_matching's NULL-keep semantics — so the
+    batch engine, the streaming front-end, the MQ changefeed, and a user
+    composing the operator library directly stay byte-identical."""
     if ignore_txn_start_ts:
-        df = df.filter(
-            ~F.coalesce(
-                F.col("start_ts").isin(list(ignore_txn_start_ts)), F.lit(False)
-            )
-        )
+        df = ignore_start_ts_filter(df, list(ignore_txn_start_ts))
     if event_filter:
-        df = df.filter(~F.coalesce(F.expr(event_filter), F.lit(False)))
+        df = expr_filter(df, event_filter)
     return df

@@ -51,9 +51,14 @@ def _coerce(v, typ: str):
         return v if isinstance(v, str) else str(v)
     if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
         try:
-            return int(v)
+            return int(v)  # exact for int and integer-valued strings
         except (TypeError, ValueError):
-            return None
+            # fractional lexemes truncate through float, mirroring the
+            # engine's evolve_cast double fallback ("1.5" -> 1)
+            try:
+                return int(float(v))
+            except (TypeError, ValueError, OverflowError):
+                return None
     if t in ("double", "float"):
         try:
             return float(v)

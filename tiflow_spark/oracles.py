@@ -344,8 +344,9 @@ FROM per_part
 WITH feed AS ({_FEED})
 SELECT op, event_type, count(*) AS n
 FROM feed
-WHERE op <> 'D' AND start_ts NOT IN (1, 2, 3, 100)
-  AND NOT (event_type = 'click' AND value < 0.5)
+WHERE NOT COALESCE(op = 'D', FALSE)
+  AND NOT COALESCE(start_ts IN (1, 2, 3, 100), FALSE)
+  AND NOT COALESCE(event_type = 'click' AND value < 0.5, FALSE)
 GROUP BY op, event_type
 """,
     "cdc_expr_filter_per_op": f"""
@@ -354,9 +355,9 @@ pre AS (SELECT *, value / 2 AS pre_value FROM feed)
 SELECT op, count(*) AS n,
        CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
 FROM pre
-WHERE NOT ((op = 'I' AND value < 0.1)
+WHERE NOT COALESCE((op = 'I' AND value < 0.1)
         OR (op = 'U' AND pre_value > 0.45 AND value > 0.93)
-        OR (op = 'D' AND start_ts < 2000))
+        OR (op = 'D' AND start_ts < 2000), FALSE)
 GROUP BY op
 """,
     "cdc_txn_group": f"""

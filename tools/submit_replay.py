@@ -186,8 +186,11 @@ def worker(workdir: str, events: int, cores: int, trials: int = 1) -> None:
     keys = ["conv_id", "turn_idx"]
     got = got.sort_values(keys).reset_index(drop=True)
     want = want.sort_values(keys).reset_index(drop=True)
-    cols = [c for c in want.columns if c in set(got.columns)]
-    match = len(got) == len(want) and all(
+    # every oracle column must be present: comparing only the intersection
+    # would let an engine regression that drops a column still "match"
+    missing = [c for c in want.columns if c not in set(got.columns)]
+    cols = list(want.columns)
+    match = not missing and len(got) == len(want) and all(
         [None if (v != v) else str(v) for v in got[c]]
         == [None if (v != v) else str(v) for v in want[c]]
         for c in cols
@@ -204,6 +207,7 @@ def worker(workdir: str, events: int, cores: int, trials: int = 1) -> None:
         "final_rows": len(got),
         "oracle_match": bool(match),
         "compared_cols": cols,
+        "missing_cols": missing,
     }))
     if not match:
         raise SystemExit("final state does not match the sequential oracle")
