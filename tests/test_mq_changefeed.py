@@ -221,3 +221,58 @@ def test_cli_rejects_cluster_master(feed, tmp_path):
     )
     assert out.returncode != 0
     assert "unsupported --master" in (out.stderr + out.stdout)
+
+
+def test_mq_publish_validation_floor_and_restart_detection(tmp_path, spark, monkeypatch):
+    """The topic manifest persists the barrier's resolved promise seq
+    (checkpoint_seq): the next publish run validates with it as seq_floor —
+    pruning the scan below what earlier runs already validated instead of
+    re-reading the whole DML log per run — and a corrupt tail below the
+    published barrier is detected across the restart even though its R row
+    is below the control read's cut (engine checkpoint_seq twin)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import tiflow_spark.engine as engine_mod
+    from tiflow_spark.engine import ResolvedTsRegression
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed
+    from tests.helpers import EVENT_COLS, ev, pl, write_feed
+
+    events = [
+        ev(0, "U", 120, "c1", 0, pl("a")),
+        ev(1, "R", 150),
+        ev(2, "I", 160, "c2", 0, pl("b")),
+        ev(3, "R", 180),
+    ]
+    _, log_dir = write_feed(tmp_path, events, [], final_resolved=False,
+                            control_sidecar=False)
+    sink = FileMQSink(str(tmp_path / "topic"), n_partitions=2)
+    cf = MQChangefeed(log_dir, sink)
+    epochs = cf.run(spark)
+    assert [e["barrier_ts"] for e in epochs] == [180]
+    state = sink.topic_state()
+    assert state["checkpoint_seq"] == 3  # the R@180 promise seq
+
+    # second run validates with the committed promise as the floor
+    seen = {}
+    real = engine_mod.validate_resolved_contract
+
+    def spy(spark_, log, marks, seq_floor=-1):
+        seen["floor"] = seq_floor
+        seen["marks"] = sorted(marks)
+        return real(spark_, log, marks, seq_floor=seq_floor)
+
+    monkeypatch.setattr(engine_mod, "validate_resolved_contract", spy)
+    assert cf.run(spark) == []  # nothing new to publish
+    assert seen["floor"] == 3
+    assert (3, 180) in seen["marks"]  # committed promise re-enters the marks
+
+    # corrupt tail below the published barrier → refused on the next run
+    late = [ev(4, "U", 170, "c1", 0, pl("below the promise")),
+            ev(5, "R", 200)]
+    pq.write_table(
+        pa.Table.from_pylist(late, schema=pa.schema(EVENT_COLS)),
+        os.path.join(log_dir, "changefeed-00001.parquet"),
+    )
+    with pytest.raises(ResolvedTsRegression):
+        MQChangefeed(log_dir, sink).run(spark)

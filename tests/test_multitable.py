@@ -259,3 +259,41 @@ def test_multitable_passes_incremental_validation_floor(spark, tmp_path, monkeyp
     eng2 = _engine(tmp_path, log_dir)
     eng2.run(spark)
     assert seen["floor"] == min(floors)
+
+
+def test_streaming_tick_reads_control_once(spark, tmp_path, monkeypatch):
+    """advance_to (the streaming tick unit) reads the control plane ONCE
+    per tick and routes DDL rows driver-side — not one collect job per
+    routed table (the batch run() shape, hoisted)."""
+    import tiflow_spark.engine as engine_mod
+
+    base_a, base_b, log_dir = _two_table_feed(tmp_path)
+    eng = _engine(tmp_path, log_dir)
+    eng.bootstrap(spark, {"alpha": os.path.dirname(base_a),
+                          "beta": os.path.dirname(base_b)})
+    calls = {"n": 0}
+    real = engine_mod.read_control
+
+    def spy(spark_, log_path, low_ts, cols):
+        calls["n"] += 1
+        return real(spark_, log_path, low_ts, cols)
+
+    monkeypatch.setattr(engine_mod, "read_control", spy)
+    barrier = max(
+        r["commit_ts"]
+        for r in real(spark, log_dir, 0, ("op", "commit_ts", "seq", "ddl"))
+        if r["op"] == "R"
+    )
+    out = eng.advance_to(spark, barrier)
+    assert len(out) == 2  # both tables advanced in this tick
+    assert calls["n"] == 1  # ONE control read for the whole tick
+    assert_tables_equal(
+        eng.final_state(spark, "alpha").toPandas(),
+        sequential_apply(base_a, log_dir, source_tables={"app.alpha"},
+                         barrier_ts=barrier),
+    )
+    assert_tables_equal(
+        eng.final_state(spark, "beta").toPandas(),
+        sequential_apply(base_b, log_dir, source_tables={"app.beta"},
+                         barrier_ts=barrier),
+    )

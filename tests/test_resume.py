@@ -96,3 +96,81 @@ def test_dedupe_below_checkpoint_on_resume(spark, tmp_path, feed):
     assert st1.total_events > 0
     st2 = eng.run(spark)
     assert st2.total_events == 0 and len(st2.epochs) == 0
+
+
+def test_resumable_bootstrap_crash_resume(spark, tmp_path, feed, monkeypatch):
+    """Chunked bootstrap (DM loader checkpoints, dm/loader/checkpoint.go):
+    kill the dump restore mid-chunk; the resume rewrites ONLY the failed
+    and remaining chunks (completed ones are checkpointed in _BOOTSTRAP),
+    cleans up the crashed chunk's orphan fragment, and the final replayed
+    state byte-matches the sequential oracle."""
+    import os
+    import shutil
+
+    from tests.helpers import assert_tables_equal
+
+    # multi-file base dump: split the generated base into 4 parquet files
+    import pyarrow.parquet as pq
+
+    base_tbl = pq.read_table(feed.base_path)
+    dump_dir = str(tmp_path / "dump")
+    os.makedirs(dump_dir)
+    step = (base_tbl.num_rows + 3) // 4
+    for i in range(4):
+        chunk = base_tbl.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(dump_dir, f"part-{i:04d}.parquet"))
+
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=4)
+    eng = ChangefeedEngine(feed.log_path, table)
+
+    calls = {"n": 0}
+    real = LakeTable._write_data
+
+    def crashing(self, df, version, pre_partitioned=False, commit_id=None):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash during chunk 3")
+        return real(self, df, version, pre_partitioned=pre_partitioned,
+                    commit_id=commit_id)
+
+    monkeypatch.setattr(LakeTable, "_write_data", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.bootstrap(spark, dump_dir, chunk_files=1)
+    assert not table.exists()  # no manifest until every chunk lands
+    state_fp = os.path.join(table.path, "_BOOTSTRAP")
+    assert os.path.exists(state_fp)
+    import json
+
+    st = json.load(open(state_fp))
+    assert len(st["done"]) == 2 and st["inflight"]  # 2 chunks checkpointed
+    orphan = os.path.join(table.path, "data", st["inflight"])
+    os.makedirs(orphan, exist_ok=True)  # half-written fragment stand-in
+
+    monkeypatch.setattr(LakeTable, "_write_data", real)
+    calls_resume = {"n": 0}
+
+    def counting(self, df, version, pre_partitioned=False, commit_id=None):
+        calls_resume["n"] += 1
+        return real(self, df, version, pre_partitioned=pre_partitioned,
+                    commit_id=commit_id)
+
+    monkeypatch.setattr(LakeTable, "_write_data", counting)
+    eng2 = ChangefeedEngine(
+        feed.log_path, LakeTable(str(tmp_path / "tgt"), num_buckets=4)
+    )
+    eng2.bootstrap(spark, dump_dir, chunk_files=1)
+    assert calls_resume["n"] == 2  # only the crashed + remaining chunk
+    assert not os.path.exists(orphan)  # crashed fragment cleaned up
+    assert not os.path.exists(state_fp)  # sidecar removed after commit
+    assert eng2.table.exists()
+
+    # replay on top of the resumed bootstrap matches the oracle
+    eng2.run(spark)
+    assert_tables_equal(
+        eng2.final_state(spark).toPandas(),
+        sequential_apply(feed.base_path, feed.log_path),
+    )
+
+    # idempotent: bootstrapping again is a no-op (table exists)
+    eng2.bootstrap(spark, dump_dir, chunk_files=1)

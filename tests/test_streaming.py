@@ -87,3 +87,45 @@ def test_stream_equals_batch_replay(spark, tmp_path):
     assert_tables_equal(
         eng_s.final_state(spark).toPandas(), eng_b.final_state(spark).toPandas()
     )
+
+
+def test_stream_rejects_resolved_regression(spark, tmp_path):
+    """Front-end validation parity (batch run() twin): a feed that violates
+    its resolved-ts promise — a late event below the committed checkpoint —
+    is REFUSED by the streaming tick, not silently applied; opting out with
+    validate_resolved=False still drains it (operator override)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tests.helpers import EVENT_COLS, ev, pl, write_feed
+
+    base = [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")]
+    events = [ev(0, "U", 120, "c1", 0, pl("ok")), ev(1, "R", 150)]
+    base_fp, log_dir = write_feed(
+        tmp_path, events, base, final_resolved=False, control_sidecar=False
+    )
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    sc = StreamingChangefeed(eng, str(tmp_path / "chk"))
+    sc.run_available(spark)
+    assert table.current_manifest()["checkpoint_ts"] == 150
+
+    # corrupt tail: commit_ts 130 < the committed checkpoint promise at 150
+    late = [ev(2, "U", 130, "c1", 0, pl("lost forever?")), ev(3, "R", 200)]
+    pq.write_table(
+        pa.Table.from_pylist(late, schema=pa.schema(EVENT_COLS)),
+        os.path.join(log_dir, "changefeed-00001.parquet"),
+    )
+    sc2 = StreamingChangefeed(eng, str(tmp_path / "chk"))
+    with pytest.raises(Exception, match="[Rr]esolved"):
+        sc2.run_available(spark)
+    # nothing was applied past the committed checkpoint
+    assert table.current_manifest()["checkpoint_ts"] == 150
+    # explicit opt-out (forcing past a known-bad feed) still drains
+    sc3 = StreamingChangefeed(
+        eng, str(tmp_path / "chk"), validate_resolved=False
+    )
+    sc3.run_available(spark)
+    assert table.current_manifest()["checkpoint_ts"] == 200

@@ -298,12 +298,38 @@ class ChangefeedEngine:
         base_parquet: str,
         registry: SchemaRegistry | None = None,
         start_ts: int = 0,
+        chunk_files: int | None = None,
     ) -> None:
         """Initial full dump → target (S5, dm/loader/loader.go:710): a CTAS.
-        checkpoint_ts = start_ts so replay begins after the snapshot."""
+        checkpoint_ts = start_ts so replay begins after the snapshot.
+
+        ``chunk_files``: resumable mode (DM loader checkpoints,
+        dm/loader/checkpoint.go) — the dump's parquet files are restored in
+        groups of this many, each group checkpointed on completion, so a
+        crashed restore resumes at the failed chunk instead of restarting
+        the whole dump (see LakeTable.create_resumable)."""
         if self.table.exists():
             return
         registry = registry or SchemaRegistry.initial()
+        if chunk_files:
+            import os
+
+            if os.path.isdir(base_parquet):
+                files = sorted(
+                    os.path.join(base_parquet, fn)
+                    for fn in os.listdir(base_parquet)
+                    if fn.endswith(".parquet")
+                )
+            else:
+                files = [base_parquet]
+            chunks = [
+                files[i : i + chunk_files]
+                for i in range(0, len(files), chunk_files)
+            ]
+            self.table.create_resumable(
+                spark, chunks, registry, checkpoint_ts=start_ts
+            )
+            return
         base = spark.read.parquet(base_parquet)
         self.table.create(spark, base, registry, checkpoint_ts=start_ts)
 
@@ -585,6 +611,16 @@ class ChangefeedEngine:
             committed=committed,
         )
 
+    def committed_promises(self) -> list[tuple[int, int]]:
+        """The committed resolved-ts promise(s): ``(checkpoint_seq,
+        checkpoint_ts)`` pairs from the manifest(s), seq >= 0 only. Front
+        ends validating incrementally append these to the discovered marks
+        and use the min seq as the validation floor (see run())."""
+        m = self.table.current_manifest()
+        if m is None or m.get("checkpoint_seq", -1) < 0:
+            return []
+        return [(m["checkpoint_seq"], m["checkpoint_ts"])]
+
     def advance_to(
         self, spark: SparkSession, barrier_ts: int, barrier_seq: int | None = None
     ) -> list[EpochStats]:
@@ -805,6 +841,16 @@ class MultiTableEngine:
                 break
         return stats
 
+    def committed_promises(self) -> list[tuple[int, int]]:
+        """Per-table committed promises (seq >= 0 only) — the multi-table
+        twin of ChangefeedEngine.committed_promises; mirrors run()'s marks."""
+        out = []
+        for table in self.tables.values():
+            m = table.current_manifest()
+            if m is not None and m.get("checkpoint_seq", -1) >= 0:
+                out.append((m["checkpoint_seq"], m["checkpoint_ts"]))
+        return out
+
     def advance_to(
         self, spark: SparkSession, barrier_ts: int, barrier_seq: int | None = None
     ) -> list[EpochStats]:
@@ -812,18 +858,41 @@ class MultiTableEngine:
         not passed it yet (per-table fences make partial progress exact) —
         the streaming front-end's per-tick unit."""
         log = self.read_log(spark)
-        out: list[EpochStats] = []
+        manifests: dict[str, dict] = {}
         for name, table in self.tables.items():
             m = table.current_manifest()
             if m is None:
                 raise FileNotFoundError(f"table {name!r} not bootstrapped")
-            if m["checkpoint_ts"] >= barrier_ts:
+            manifests[name] = m
+        behind = {n for n, m in manifests.items() if m["checkpoint_ts"] < barrier_ts}
+        if not behind:
+            return []
+        # ONE control read per tick (sidecar-aware), routed driver-side —
+        # ddl_rows=None per table would instead run a collect job on each
+        # routed slice, one extra Spark job per table per tick
+        control = read_control(
+            spark,
+            self.log_path,
+            min(manifests[n]["checkpoint_ts"] for n in behind),
+            ("op", "commit_ts", "seq", "ddl", "tbl"),
+        )
+        out: list[EpochStats] = []
+        for name, table in self.tables.items():
+            if name not in behind:
                 continue
+            m = manifests[name]
             sliced = watermark_cut(
                 log.filter(self._route_pred(name)),
                 low_ts=m["checkpoint_ts"],
                 high_ts=barrier_ts,
             )
+            ddl_rows = [
+                r
+                for r in control
+                if r["op"] == OP_DDL
+                and m["checkpoint_ts"] < r["commit_ts"] <= barrier_ts
+                and self.route_name(r["tbl"]) == name
+            ]
             # same filter config as the batch path — without it the
             # streaming front-end would silently apply events the batch
             # run drops (front-ends must stay byte-identical)
@@ -835,7 +904,7 @@ class MultiTableEngine:
             out.append(
                 sub.apply_slice(
                     spark, sliced, m, barrier_ts,
-                    ddl_rows=None,  # collected from the routed slice
+                    ddl_rows=ddl_rows,
                     barrier_seq=barrier_seq,
                 )
             )

@@ -143,7 +143,11 @@ class LakeTable:
         return n_tasks, salt
 
     def _write_data(
-        self, df: DataFrame, schema_version: int, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        schema_version: int,
+        pre_partitioned: bool = False,
+        commit_id: str | None = None,
     ) -> list[dict]:
         """Write a bucketed snapshot fragment; return manifest file entries.
 
@@ -151,8 +155,12 @@ class LakeTable:
         (bucket, within-bucket salt) — e.g. merge()'s single-exchange LWW
         pick, whose grouping keys start with exactly that pair — so the
         write-side repartition would be a redundant full shuffle of the
-        snapshot (explicit repartitions are never elided by Catalyst)."""
-        commit_id = uuid.uuid4().hex
+        snapshot (explicit repartitions are never elided by Catalyst).
+
+        ``commit_id``: caller-fixed fragment id (the resumable bootstrap
+        records it BEFORE writing so a crashed attempt's orphan directory
+        can be cleaned up on resume)."""
+        commit_id = commit_id or uuid.uuid4().hex
         out = os.path.join(self.path, "data", commit_id)
         if BUCKET_COL not in df.columns:
             df = df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
@@ -204,6 +212,101 @@ class LakeTable:
             "lineage": [],
         }
         assert self._commit(manifest)
+
+    # ------------------------------------------------- resumable bootstrap
+    def create_resumable(
+        self,
+        spark: SparkSession,
+        chunks: list[list[str]],
+        registry: SchemaRegistry,
+        checkpoint_ts: int = 0,
+        checkpoint_seq: int = -1,
+    ) -> int:
+        """Chunked CTAS with per-chunk completion checkpoints — DM's loader
+        checkpoint (dm/loader/checkpoint.go, dm/loader/loader.go:287,710
+        records per-data-file progress and resumes a crashed dump restore
+        exactly). ``chunks``: input parquet file groups; each completed
+        chunk's manifest entries are recorded atomically in a ``_BOOTSTRAP``
+        sidecar, so a crash at chunk k resumes at chunk k instead of
+        rewriting the whole dump (at 100 TB, all-or-nothing CTAS means a
+        crash at 99% restarts from zero). Each chunk is still a fully
+        distributed bucketed write; chunk count bounds redo work, not
+        parallelism. Returns the number of chunks (re)written this call.
+
+        Crash safety: the chunk's fragment id is recorded as in-flight
+        BEFORE the write, so a half-written orphan directory from a crashed
+        attempt is deleted on resume (Iceberg remove_orphan_files analogue);
+        the final manifest commit makes the table visible atomically, and
+        the sidecar is removed after it."""
+        if self.exists():
+            raise FileExistsError(f"lake table {self.path} already exists")
+        if not chunks:
+            raise ValueError("create_resumable: chunks must be non-empty")
+        state_fp = os.path.join(self.path, "_BOOTSTRAP")
+        state = {"done": {}, "inflight": None, "key_types": None}
+        if os.path.exists(state_fp):
+            with open(state_fp) as f:
+                state = json.load(f)
+        if state.get("inflight"):
+            # crashed mid-chunk: remove the orphan fragment, then redo it
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.path, "data", state["inflight"]),
+                ignore_errors=True,
+            )
+            state["inflight"] = None
+
+        def _persist() -> None:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = state_fp + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, state_fp)
+
+        written = 0
+        for i, files in enumerate(chunks):
+            key = str(i)
+            if key in state["done"]:
+                continue  # chunk completed by a previous attempt
+            df = spark.read.parquet(*files)
+            if state["key_types"] is None:
+                state["key_types"] = [
+                    next(
+                        f.dataType.simpleString()
+                        for f in df.schema.fields
+                        if f.name == k
+                    )
+                    for k in self.key_cols
+                ]
+            commit_id = uuid.uuid4().hex
+            state["inflight"] = commit_id
+            _persist()
+            entries = self._write_data(
+                df, registry.current.version, commit_id=commit_id
+            )
+            state["done"][key] = entries
+            state["inflight"] = None
+            _persist()
+            written += 1
+        manifest = {
+            "epoch": 0,
+            "checkpoint_ts": checkpoint_ts,
+            "checkpoint_seq": checkpoint_seq,
+            "key_types": state["key_types"],
+            "schema_version": registry.current.version,
+            "registry": registry.to_json(),
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "files": [e for k in sorted(state["done"], key=int)
+                      for e in state["done"][k]],
+            "lineage": [],
+        }
+        assert self._commit(manifest)
+        os.remove(state_fp)
+        return written
 
     # ------------------------------------------------------------------ read
     def read(self, spark: SparkSession, manifest: dict | None = None) -> DataFrame:

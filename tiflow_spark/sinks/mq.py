@@ -83,6 +83,7 @@ class FileMQSink:
         envelope_col: str = "envelope",
         ddl_rows: list | None = None,
         protocol: str | None = None,
+        barrier_seq: int | None = None,
     ) -> bool:
         """Append one epoch's events (already cut to the barrier) as an
         offset-ordered segment + per-partition checkpoint messages.
@@ -150,6 +151,12 @@ class FileMQSink:
         # record the codec so consumers (topic_to_log) can refuse topics
         # they cannot decode instead of silently producing NULL events
         state_out["protocol"] = protocol or state.get("protocol")
+        # seq of the resolved-ts promise backing this barrier: the next
+        # publish run validates the contract with this as seq_floor, so the
+        # scan prunes everything an earlier run already validated instead of
+        # re-reading the whole DML log per run (engine checkpoint_seq twin);
+        # no seq supplied = no promise recorded (never inherit a stale one)
+        state_out["checkpoint_seq"] = barrier_seq if barrier_seq is not None else -1
         self._commit_state(state_out)
         return True
 
@@ -313,13 +320,22 @@ class MQChangefeed:
         control = read_control(
             spark, self.log_path, chk, ("op", "commit_ts", "seq", "ddl")
         )
+        resolved = [
+            (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
+        ]
         log = self.read_log(spark)
         if validate_resolved:
-            marks = [
-                (r["seq"], r["commit_ts"])
-                for r in control if r["op"] == OP_RESOLVED
-            ]
-            validate_resolved_contract(spark, log, marks)
+            marks = list(resolved)
+            # the committed promise from the topic manifest: detects a
+            # corrupt tail below the published barrier even though its R row
+            # is now below the control read's low_ts cut (engine.run twin)
+            chk_seq = int(state.get("checkpoint_seq", -1))
+            if chk_seq >= 0:
+                marks.append((chk_seq, chk))
+            # incremental: events at/below the committed promise seq were
+            # validated by the run that published it — without the floor
+            # every publish run re-scans the ENTIRE DML log, O(runs × log)
+            validate_resolved_contract(spark, log, marks, seq_floor=chk_seq)
         out: list[dict] = []
         while True:
             barriers = sorted(
@@ -344,9 +360,15 @@ class MQChangefeed:
                 if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
             ]
             epoch = self.sink.topic_state()["epoch"] + 1
+            # the earliest resolved promise covering this barrier — persisted
+            # as the topic's checkpoint_seq (next run's validation floor)
+            barrier_seq = min(
+                (seq for seq, ts in resolved if ts >= barrier), default=None
+            )
             published = self.sink.write_epoch(
                 events, epoch=epoch, barrier_ts=barrier, ddl_rows=ddl_rows,
                 protocol=None if self.envelope is not None else self.protocol,
+                barrier_seq=barrier_seq,
             )
             n = sum(
                 v - state["offsets"][p]

@@ -48,10 +48,12 @@ class StreamingChangefeed:
 
     def __init__(self, engine: "ChangefeedEngine | MultiTableEngine",
                  checkpoint_dir: str,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 validate_resolved: bool = True):
         self.engine = engine
         self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
+        self.validate_resolved = validate_resolved
         self.epochs: list[EpochStats] = []
 
     # ------------------------------------------------------------- internals
@@ -61,6 +63,8 @@ class StreamingChangefeed:
         kinds — ``ChangefeedEngine`` (one epoch) and ``MultiTableEngine``
         (one epoch per behind table) — through the shared ``advance_to``;
         already-covered barriers no-op via the manifest checkpoint."""
+        from tiflow_spark.engine import validate_resolved_contract
+
         spark = batch.sparkSession
         # barrier = the newest resolved mark this tick discovered; everything
         # at or below it is complete BY THE FEED'S OWN CONTRACT, regardless
@@ -74,6 +78,21 @@ class StreamingChangefeed:
         if barrier is None:
             return  # no new close point yet — events wait for their R mark
         barrier_seq = min(r["seq"] for r in marks if r["commit_ts"] >= barrier)
+        if self.validate_resolved:
+            # front-end parity with the batch run(): a feed that violates its
+            # resolved promise is REFUSED, not silently applied. Marks = this
+            # tick's discovered R rows + the committed promise(s) from the
+            # manifest (detects a corrupt tail below the checkpoint);
+            # floor = min committed promise seq, so each tick validates only
+            # the seqs no earlier tick/run has validated (incremental, the
+            # same seq_floor pruning as the batch path).
+            vmarks = [(r["seq"], r["commit_ts"]) for r in marks]
+            promises = self.engine.committed_promises()
+            vmarks.extend(promises)
+            floor = min((s for s, _ in promises), default=-1)
+            validate_resolved_contract(
+                spark, self.engine.read_log(spark), vmarks, seq_floor=floor
+            )
         self.epochs.extend(
             self.engine.advance_to(spark, int(barrier), barrier_seq)
         )
