@@ -93,22 +93,30 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
-def test_topic_relay_replays_to_same_table(feed, tmp_path, spark):
-    """The full relay chain: log → MQ topic → consumer-reconstructed log →
-    engine replay must land the exact table the direct replay lands (the
-    TiCDC → Kafka → canal-consumer → table pairing, end to end)."""
+@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json"])
+def test_topic_relay_replays_to_same_table(feed, tmp_path, spark, protocol):
+    """The full relay chain per envelope codec: log → MQ topic →
+    consumer-reconstructed log → engine replay must land the exact table
+    the direct replay lands (the TiCDC → Kafka → canal-consumer → table
+    pairing, end to end). maxwell carries no seq on the wire — the decoder
+    synthesizes per-key order from the partition offsets; canal-json
+    carries it as ``id``; both must still byte-match."""
     from tiflow_spark.engine import ChangefeedEngine
     from tiflow_spark.lake import LakeTable
     from tiflow_spark.oracle import sequential_apply
     from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
     from tests.helpers import assert_tables_equal
 
-    sink = FileMQSink(str(tmp_path / "relay_topic"), n_partitions=4)
-    src_epochs = MQChangefeed(feed.log_path, sink).run(spark, barrier_stride=1)
+    sink = FileMQSink(str(tmp_path / f"relay_topic_{protocol}"), n_partitions=4)
+    src_epochs = MQChangefeed(feed.log_path, sink, protocol=protocol).run(
+        spark, barrier_stride=1
+    )
     assert len(src_epochs) > 1  # multi-epoch publish
 
-    log2 = topic_to_log(spark, sink, str(tmp_path / "relay_log"))
-    eng = ChangefeedEngine(log2, LakeTable(str(tmp_path / "relay_t"), num_buckets=8))
+    log2 = topic_to_log(spark, sink, str(tmp_path / f"relay_log_{protocol}"))
+    eng = ChangefeedEngine(
+        log2, LakeTable(str(tmp_path / f"relay_t_{protocol}"), num_buckets=8)
+    )
     eng.bootstrap(spark, feed.base_path)
     # epoch granularity survives the relay: one R mark per source epoch
     stats = eng.run(spark, barrier_stride=1)
@@ -177,15 +185,18 @@ partitions = 2
     assert sum(state["offsets"].values()) > 0
 
 
-def test_topic_to_log_refuses_wrong_protocol(feed, tmp_path, spark):
-    """Relaying a maxwell topic through the open-json decoder would yield
-    NULL-op rows and a silently-empty change stream — must refuse."""
+def test_topic_to_log_refuses_undecodable_topic(feed, tmp_path, spark):
+    """A topic published with a CUSTOM envelope records no protocol; the
+    default open-json decode yields NULL-op rows — the relay must refuse
+    rather than reconstruct a silently-empty change stream."""
     from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
 
-    sink = FileMQSink(str(tmp_path / "mx_topic"), n_partitions=2)
-    MQChangefeed(feed.log_path, sink, protocol="maxwell").run(spark)
-    with pytest.raises(ValueError, match="maxwell"):
-        topic_to_log(spark, sink, str(tmp_path / "mx_log"))
+    sink = FileMQSink(str(tmp_path / "cx_topic"), n_partitions=2)
+    custom = F.concat(F.lit("k|"), F.col("conv_id"), F.lit("|"),
+                      F.col("commit_ts").cast("string"))
+    MQChangefeed(feed.log_path, sink, envelope=custom).run(spark)
+    with pytest.raises(ValueError, match="did not decode"):
+        topic_to_log(spark, sink, str(tmp_path / "cx_log"))
 
 
 def test_cli_mq_rejects_unsupported_options(feed, tmp_path):

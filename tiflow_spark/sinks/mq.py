@@ -387,15 +387,115 @@ class MQChangefeed:
         return out
 
 
+def _decode_open_json(row_msgs: DataFrame) -> DataFrame:
+    """Inverse of open_json_envelope — full envelope, true seq/start_ts."""
+    env_schema = (
+        "t string, ts long, sts long, seq long, conv_id string, "
+        "turn_idx int, payload string, pre_payload string, v int"
+    )
+    return row_msgs.select(
+        F.from_json("value", env_schema).alias("e")
+    ).select(
+        F.col("e.seq").alias("seq"),
+        F.col("e.t").alias("op"),
+        F.col("e.ts").alias("commit_ts"),
+        F.col("e.sts").alias("start_ts"),
+        F.col("e.v").alias("schema_version"),
+        F.col("e.conv_id").alias("conv_id"),
+        F.col("e.turn_idx").alias("turn_idx"),
+        F.col("e.payload").alias("payload"),
+        F.col("e.pre_payload").alias("pre_payload"),
+        F.lit(None).cast("string").alias("ddl"),
+        F.lit(None).cast("int").alias("partition_hint"),
+        F.lit(None).cast("string").alias("tbl"),
+    )
+
+
+def _decode_maxwell(row_msgs: DataFrame) -> DataFrame:
+    """Inverse of maxwell_envelope (cdc/sink/codec/maxwell.go shape). The
+    wire carries no seq/start_ts/schema_version: seq is synthesized from
+    the per-partition OFFSET — same key → same partition (index-value
+    dispatch) and offsets are assigned in canonical event order and
+    continued across epochs, so per-key relative order (all the LWW fold
+    consumes, ties broken at equal commit_ts) is preserved exactly;
+    schema_version=null falls back to the as-of rule at decode time (the
+    relayed DDL events rebuild the registry timeline)."""
+    env_schema = (
+        "database string, table string, type string, ts long, "
+        "data struct<conv_id:string, turn_idx:int, payload:string>, "
+        "old struct<payload:string>"
+    )
+    e = F.from_json("value", env_schema)
+    op = (
+        F.when(e["type"] == "insert", "I")
+        .when(e["type"] == "delete", "D")
+        .when(e["type"] == "update", "U")
+    )
+    return row_msgs.select(
+        F.col("offset").alias("seq"),
+        op.alias("op"),
+        e["ts"].alias("commit_ts"),
+        F.lit(None).cast("long").alias("start_ts"),
+        F.lit(None).cast("int").alias("schema_version"),
+        e["data"]["conv_id"].alias("conv_id"),
+        e["data"]["turn_idx"].alias("turn_idx"),
+        e["data"]["payload"].alias("payload"),
+        e["old"]["payload"].alias("pre_payload"),
+        F.lit(None).cast("string").alias("ddl"),
+        F.lit(None).cast("int").alias("partition_hint"),
+        e["table"].alias("tbl"),
+    )
+
+
+def _decode_canal_json(row_msgs: DataFrame) -> DataFrame:
+    """Inverse of canal_json_envelope (Alibaba Canal flatMessage): ``id``
+    carries the true seq, ``es`` the commit_ts, data/old are one-element
+    arrays; start_ts/schema_version are not on the wire (see maxwell)."""
+    env_schema = (
+        "id long, database string, table string, type string, es long, "
+        "ts long, data array<struct<conv_id:string, turn_idx:int, "
+        "payload:string>>, old array<struct<payload:string>>"
+    )
+    e = F.from_json("value", env_schema)
+    op = (
+        F.when(e["type"] == "INSERT", "I")
+        .when(e["type"] == "DELETE", "D")
+        .when(e["type"] == "UPDATE", "U")
+    )
+    return row_msgs.select(
+        e["id"].alias("seq"),
+        op.alias("op"),
+        e["es"].alias("commit_ts"),
+        F.lit(None).cast("long").alias("start_ts"),
+        F.lit(None).cast("int").alias("schema_version"),
+        e["data"][0]["conv_id"].alias("conv_id"),
+        e["data"][0]["turn_idx"].alias("turn_idx"),
+        e["data"][0]["payload"].alias("payload"),
+        e["old"][0]["payload"].alias("pre_payload"),
+        F.lit(None).cast("string").alias("ddl"),
+        F.lit(None).cast("int").alias("partition_hint"),
+        e["table"].alias("tbl"),
+    )
+
+
+RELAY_DECODERS = {
+    "open-json": _decode_open_json,
+    "maxwell": _decode_maxwell,
+    "canal-json": _decode_canal_json,
+}
+
+
 def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
-    """Consumer-side relay: reconstruct a replayable changefeed log from an
-    open-json topic — the downstream half of the reference's MQ pairing
-    (TiCDC → Kafka → canal/flink consumer → table). Row messages become DML
-    events, the deduped ``ddl`` broadcasts become DDL events, and the final
-    checkpoint broadcast becomes the resolved-ts (R) mark — so
-    ``ChangefeedEngine`` can replay the reconstructed log with the SAME
-    fold/merge/fence semantics, and the relayed table byte-matches the
-    directly-replayed one (pinned in ``test_mq_changefeed``).
+    """Consumer-side relay: reconstruct a replayable changefeed log from a
+    topic published with ANY of the three JSON envelope codecs — the
+    downstream half of the reference's MQ pairing (TiCDC → Kafka →
+    canal/flink consumer → table; the consumer ecosystem decodes canal wire,
+    cdc/sink/codec/canal.go). Row messages become DML events, the deduped
+    ``ddl`` broadcasts become DDL events, and each epoch's checkpoint
+    broadcast becomes a resolved-ts (R) mark — so ``ChangefeedEngine`` can
+    replay the reconstructed log with the SAME fold/merge/fence semantics,
+    and the relayed table byte-matches the directly-replayed one (pinned
+    per protocol in ``test_mq_changefeed``).
 
     Distributed shape: one scan of the topic; envelope decode is a
     ``from_json`` projection; the write is one narrow pass. The tiny ddl /
@@ -405,38 +505,16 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
 
     from tiflow_spark.model import CHANGE_EVENT_SCHEMA
 
-    recorded = sink.topic_state().get("protocol")
-    if recorded is not None and recorded != "open-json":
-        # decoding a maxwell/canal-json topic with the open-json schema
-        # would yield NULL op on every row and silently relay an empty
-        # change stream — refuse instead
+    protocol = sink.topic_state().get("protocol") or "open-json"
+    if protocol not in RELAY_DECODERS:
+        # a custom-envelope topic decoded with the wrong schema would yield
+        # NULL op on every row and silently relay an empty stream — refuse
         raise ValueError(
-            f"topic was published with protocol {recorded!r}; "
-            "topic_to_log can only reconstruct open-json topics"
+            f"topic was published with protocol {protocol!r}; "
+            f"topic_to_log can reconstruct {sorted(RELAY_DECODERS)}"
         )
     topic = sink.read_topic(spark)
-    env_schema = (
-        "t string, ts long, sts long, seq long, conv_id string, "
-        "turn_idx int, payload string, pre_payload string, v int"
-    )
-    rows = (
-        topic.filter(F.col("kind") == "row")
-        .select(F.from_json("value", env_schema).alias("e"))
-        .select(
-            F.col("e.seq").alias("seq"),
-            F.col("e.t").alias("op"),
-            F.col("e.ts").alias("commit_ts"),
-            F.col("e.sts").alias("start_ts"),
-            F.col("e.v").alias("schema_version"),
-            F.col("e.conv_id").alias("conv_id"),
-            F.col("e.turn_idx").alias("turn_idx"),
-            F.col("e.payload").alias("payload"),
-            F.col("e.pre_payload").alias("pre_payload"),
-            F.lit(None).cast("string").alias("ddl"),
-            F.lit(None).cast("int").alias("partition_hint"),
-            F.lit(None).cast("string").alias("tbl"),
-        )
-    )
+    rows = RELAY_DECODERS[protocol](topic.filter(F.col("kind") == "row"))
     # control plane (tiny): dedupe the per-partition DDL broadcasts, take
     # the newest checkpoint as the R mark
     ctrl = topic.filter(F.col("kind").isin("ddl", "checkpoint")).collect()
@@ -456,10 +534,10 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
         F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("bad"),
     ).collect()[0]
     if (agg["bad"] or 0) > 0:
-        # custom envelope or pre-protocol topic the open-json schema can't
-        # decode — fail loudly rather than relay a silently-empty stream
+        # custom envelope or pre-protocol topic this schema can't decode —
+        # fail loudly rather than relay a silently-empty stream
         raise ValueError(
-            f"{agg['bad']} row messages did not decode as open-json "
+            f"{agg['bad']} row messages did not decode as {protocol} "
             "envelopes (op is null) — wrong codec for this topic"
         )
     max_seq = agg["max_seq"] or 0
