@@ -92,12 +92,23 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
                      LakeTable(target, num_buckets=max(cpus, 16))
                      ).read_log(spark).count()
     spark.read.parquet(base_fp).count()
-    # min-of-3: trial 0 pays codegen compile, trial 1 often still pays JVM
-    # C2 JIT on the merge path (measured 9.6s -> 6.7s -> 6.3s settling) —
-    # one-shot runs under-report throughput with only 2 trials
-    n_trials = int(os.environ.get("BENCH_CDC_TRIALS", "3"))
+    # run-to-convergence: trial 0 pays codegen compile, trial 1 often still
+    # pays JVM C2 JIT on the merge path (measured 9.6s -> 6.7s -> 6.3s
+    # settling), and on a contended box the settling can take longer — the
+    # round-3 driver run never converged (24.6 -> 13.7 -> 10.0 with a fixed
+    # 3-trial cap). Keep replaying until the last two trials agree within
+    # 10% (or the cap), so the reported min is a settled steady-state number.
+    n_min = int(os.environ.get("BENCH_CDC_TRIALS", "3"))
+    n_max = int(os.environ.get("BENCH_CDC_MAX_TRIALS", "7"))
     trials, boots = [], []
-    for _ in range(n_trials):
+
+    def _converged() -> bool:
+        if len(trials) < n_min:
+            return False
+        a, b = trials[-2], trials[-1]
+        return abs(a - b) <= 0.10 * min(a, b)
+
+    while len(trials) < n_max and not _converged():
         shutil.rmtree(target, ignore_errors=True)
         table = LakeTable(target, num_buckets=max(cpus, 16))
         engine = ChangefeedEngine(os.path.join(feed_dir, "log"), table)
@@ -118,6 +129,9 @@ def bench_cdc_replay(spark, sf: str, cpus: int) -> tuple[float, dict]:
         "cdc_bootstrap_sec": round(min(boots), 3),
         "cdc_bootstrap_trials": [round(x, 3) for x in boots],
         "cdc_replay_trials": [round(x, 3) for x in trials],
+        # last two trials within 10% — false means the cap stopped a
+        # still-descending series (contended box) and the min is conservative
+        "cdc_replay_converged": _converged(),
     }
 
 

@@ -95,6 +95,9 @@ def write_log(log_dir, events, final_resolved=True, control_sidecar=True):
             pa.Table.from_pylist(ctl, schema=schema),
             os.path.join(ctl_dir, "control-00000.parquet"),
         )
+        from tiflow_spark.engine import write_control_coverage
+
+        write_control_coverage(log_dir)
     return log_dir
 
 

@@ -290,3 +290,136 @@ def test_advance_to_applies_engine_filters(feed, tmp_path, spark):
         ticked.final_state(spark, "transcripts").toPandas(),
         batch.final_state(spark, "transcripts").toPandas(),
     )
+
+
+def test_cli_lifecycle_pause_resume_remove_list(feed, tmp_path):
+    """Lifecycle round-trip (pkg/cmd/cli/cli_changefeed_pause/_resume/
+    _remove/_list.go): create → pause (run refused) → resume (run works)
+    → remove (run refused, stream checkpoint gone, data kept) → create
+    re-registers; list shows the right state at each step."""
+    f, d = feed
+    target = str(tmp_path / "lc_target")
+    cfg_dir = str(tmp_path / "feeds")
+    os.makedirs(cfg_dir)
+    cfg_path = os.path.join(cfg_dir, "alpha.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{target}"
+base = "{f.base_path}"
+num-buckets = 4
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def cli(*args, ok=True, timeout=600):
+        out = subprocess.run(
+            [sys.executable, "-m", "tiflow_spark", *args],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=str(tmp_path),
+        )
+        if ok:
+            assert out.returncode == 0, out.stderr[-2000:]
+        else:
+            assert out.returncode != 0
+        return out
+
+    def listed():
+        out = cli("list", "--config-dir", cfg_dir, timeout=120)
+        rows = json.loads(out.stdout)
+        assert [r["id"] for r in rows] == ["alpha"]
+        return rows[0]
+
+    assert listed()["state"] == "not bootstrapped"
+    cli("create", "--config", cfg_path, "--master", "local[4]")
+    row = listed()
+    assert row["state"] == "normal" and row["checkpoint_ts"] == f.max_commit_ts
+
+    cli("pause", "--config", cfg_path, timeout=120)
+    assert listed()["state"] == "paused"
+    bad = cli("run", "--config", cfg_path, "--master", "local[4]",
+              ok=False, timeout=120)
+    assert "paused" in bad.stderr
+
+    cli("resume", "--config", cfg_path, timeout=120)
+    assert listed()["state"] == "normal"
+    out = cli("run", "--config", cfg_path, "--master", "local[4]")
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["result"]["epochs"] == 0  # already drained — resume is exact
+
+    chk_dir = os.path.join(target, "_stream_ckpt")
+    os.makedirs(chk_dir, exist_ok=True)
+    cli("remove", "--config", cfg_path, timeout=120)
+    assert listed()["state"] == "removed"
+    assert not os.path.exists(chk_dir)  # stream checkpoint released
+    assert os.path.exists(os.path.join(target, "_CURRENT"))  # data kept
+    bad2 = cli("run", "--config", cfg_path, "--master", "local[4]",
+               ok=False, timeout=120)
+    assert "removed" in bad2.stderr
+    bad3 = cli("pause", "--config", cfg_path, ok=False, timeout=120)
+    assert "removed" in bad3.stderr
+
+    # create re-registers the removed feed id (table already bootstrapped)
+    cli("create", "--config", cfg_path, "--master", "local[4]")
+    assert listed()["state"] == "normal"
+
+    # full teardown: --drop-data releases the sink directory itself
+    cli("remove", "--config", cfg_path, "--drop-data", timeout=120)
+    assert not os.path.exists(target)
+    assert listed()["state"] == "not bootstrapped"  # fresh id, no sidecar
+
+
+def test_cli_validate_state_audit_and_drift(feed, tmp_path):
+    """``validate-state = true`` records per-bucket digests at every commit;
+    the ``validate`` verb audits them (green), and an out-of-band edit of a
+    data file turns it red with a nonzero exit (the continuous-validator
+    CLI surface, dm/syncer/data_validator.go:62-196)."""
+    import pyarrow as pa
+
+    f, d = feed
+    target = str(tmp_path / "val_target")
+    cfg_path = str(tmp_path / "val.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{target}"
+base = "{f.base_path}"
+num-buckets = 4
+validate-state = true
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def cli(*args, ok=True):
+        out = subprocess.run(
+            [sys.executable, "-m", "tiflow_spark", *args],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=str(tmp_path),
+        )
+        assert (out.returncode == 0) == ok, out.stderr[-2000:]
+        return out
+
+    cli("create", "--config", cfg_path, "--master", "local[4]")
+    out = cli("validate", "--config", cfg_path, "--master", "local[4]")
+    res = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert res["result"]["ok"] and res["result"]["buckets_uncovered"] == 0
+
+    # out-of-band edit of one LIVE data file (manifest-referenced)
+    with open(os.path.join(target, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    with open(os.path.join(target, "_manifests", cur)) as fh:
+        entries = json.load(fh)["files"]
+    fp = sorted(os.path.join(target, e["path"]) for e in entries)[0]
+    t = pq.read_table(fp)
+    df = t.to_pandas()
+    df.loc[df.index[0], "text"] = "TAMPERED"
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        fp, coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    crc = os.path.join(os.path.dirname(fp), f".{os.path.basename(fp)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    bad = cli("validate", "--config", cfg_path, "--master", "local[4]",
+              ok=False)
+    assert "validation failed" in bad.stderr

@@ -141,3 +141,40 @@ def test_stale_control_sidecar_falls_back_to_full_scan(spark, tmp_path):
     assert_tables_equal(
         table.read(spark).toPandas(), sequential_apply(base_fp, log_dir)
     )
+
+
+def test_control_coverage_high_watermark(spark, tmp_path):
+    """read_control trusts the sidecar via the ``_COVERAGE`` segment-count
+    high-watermark (one name listing, no per-file stats — mtimes are
+    unreliable on object stores): a sentinel row present ONLY in the
+    sidecar proves the sidecar was read; appending a raw log segment makes
+    the count exceed the watermark and forces the full scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.helpers import EVENT_COLS
+    from tiflow_spark.engine import read_control, write_control_coverage
+
+    base = [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")]
+    events = [ev(0, "U", 120, "c1", 0, pl("e1")), ev(1, "R", 150)]
+    _, log_dir = write_feed(
+        tmp_path, events, base, final_resolved=False, control_sidecar=True
+    )
+    schema = pa.schema(EVENT_COLS)
+    # sentinel R mark only the sidecar knows about
+    pq.write_table(
+        pa.Table.from_pylist([ev(99, "R", 999)], schema=schema),
+        os.path.join(log_dir, "_control", "control-00001.parquet"),
+    )
+    write_control_coverage(log_dir)
+    rows = read_control(spark, log_dir, 0, ["op", "commit_ts", "seq"])
+    assert any(r["commit_ts"] == 999 for r in rows)  # sidecar path taken
+
+    # raw tail append -> segment count exceeds the watermark -> full scan
+    pq.write_table(
+        pa.Table.from_pylist([ev(2, "R", 500)], schema=schema),
+        os.path.join(log_dir, "changefeed-00001.parquet"),
+    )
+    rows = read_control(spark, log_dir, 0, ["op", "commit_ts", "seq"])
+    assert any(r["commit_ts"] == 500 for r in rows)  # new R visible
+    assert not any(r["commit_ts"] == 999 for r in rows)  # sidecar distrusted

@@ -19,6 +19,26 @@ TOML config (tiflow_spark.config):
 - ``gc --config x.toml``      expire manifests older than the last
   ``gc-keep-last`` epochs and delete unreferenced data files (the C4 GC
   safepoint, cdc/owner/changefeed.go:253-270 — manifest-level, no Spark).
+- ``pause / resume --config x.toml``  flip the changefeed's admin state
+  (pkg/cmd/cli/cli_changefeed_pause.go/_resume.go): a paused feed's
+  ``run``/``stream`` refuse until resumed. Like the reference — where the
+  cli only flips etcd state and the server process does the work — these
+  are metadata-only; ``run`` is our server process and performs the
+  actual replay from the committed checkpoint after a resume.
+- ``remove --config x.toml [--drop-data]``  deregister the changefeed
+  (cli_changefeed_remove.go): tombstone its admin state, delete its
+  streaming-source checkpoint, release the upstream log-retention pin;
+  downstream data is kept unless ``--drop-data``. ``create`` re-registers
+  a removed feed id.
+- ``list --config-dir d/``    one status row per TOML config in the
+  directory (cli_changefeed_list.go): admin state + committed
+  checkpoint/epoch from the manifests. Manifest-level, no Spark.
+- ``validate --config x.toml``  full-table audit of the downstream state
+  against the committed per-bucket checksums (the continuous validator's
+  point-in-time mode, dm/syncer/data_validator.go:62-196; requires
+  ``validate-state = true`` runs to have recorded digests). Per-epoch
+  incremental validation is the ``validate-state`` config knob: every
+  MERGE re-verifies the buckets it touches before folding onto them.
 
 Session: ``--master local[N]`` (default from SPARK_GRAFT_CPUS) builds a
 local session; ``--master submit`` defers to the enclosing spark-submit's
@@ -104,12 +124,16 @@ def _run(spark, cfg: ChangefeedConfig, engine) -> dict:
 
 
 def _query(cfg: ChangefeedConfig, engine) -> dict:
+    from tiflow_spark.lifecycle import read_state
+
+    admin = read_state(cfg.target)["state"]
+
     def table_status(table) -> dict:
         m = table.current_manifest()
         if m is None:
             return {"state": "not bootstrapped"}
         return {
-            "state": "normal",
+            "state": admin,
             "epoch": m["epoch"],
             "checkpoint_ts": m["checkpoint_ts"],
             "checkpoint_seq": m.get("checkpoint_seq", -1),
@@ -161,6 +185,7 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
             ("syncpoint-every", cfg.syncpoint_every),
             ("start-ts", cfg.start_ts or None),
             ("base", cfg.base),
+            ("validate-state", cfg.validate_state),
         ) if v
     ]
     if unsupported:
@@ -170,10 +195,20 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
             f"[sink] type='mq' does not support: {', '.join(unsupported)}"
         )
     if a.verb == "query":
-        print(json.dumps(engine.sink.topic_state(), indent=2, sort_keys=True))
+        from tiflow_spark import lifecycle
+
+        state = dict(engine.sink.topic_state())
+        state["state"] = lifecycle.read_state(cfg.target)["state"]
+        print(json.dumps(state, indent=2, sort_keys=True))
         return 0
-    if a.verb in ("stream", "gc"):
+    if a.verb in ("stream", "gc", "validate"):
         raise SystemExit(f"{a.verb} is not supported for [sink] type='mq'")
+    from tiflow_spark import lifecycle
+
+    if a.verb == "create":
+        lifecycle.activate(cfg.target)
+    else:
+        lifecycle.check_runnable(cfg.target)
     spark = _session(a.master)
     try:
         epochs = engine.run(
@@ -192,16 +227,51 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
 
 
 def main(argv=None) -> int:
+    from tiflow_spark import lifecycle
+
     p = argparse.ArgumentParser(prog="python -m tiflow_spark")
-    p.add_argument("verb", choices=["create", "run", "query", "stream", "gc"])
-    p.add_argument("--config", required=True, help="changefeed TOML file")
+    p.add_argument("verb", choices=["create", "run", "query", "stream", "gc",
+                                    "pause", "resume", "remove", "list",
+                                    "validate"])
+    p.add_argument("--config", default=None, help="changefeed TOML file")
+    p.add_argument("--config-dir", default=None,
+                   help="list: directory of changefeed TOML files")
     p.add_argument("--master", default="local[*]",
                    help="local[N] | submit (inherit spark-submit conf)")
     p.add_argument("--trigger", type=float, default=None,
                    help="stream: tick every N seconds (default: drain once)")
+    p.add_argument("--drop-data", action="store_true",
+                   help="remove: also tear down the sink directory")
     a = p.parse_args(argv)
 
+    if a.verb == "list":
+        if not a.config_dir:
+            raise SystemExit("list requires --config-dir")
+        print(json.dumps(lifecycle.list_changefeeds(a.config_dir), indent=2))
+        return 0
+    if not a.config:
+        raise SystemExit(f"{a.verb} requires --config")
+
     cfg = load_config(a.config)
+
+    # lifecycle verbs: metadata-only, sink-agnostic, no Spark session
+    if a.verb in ("pause", "resume", "remove"):
+        if a.verb == "pause":
+            st = lifecycle.pause(cfg.target)
+        elif a.verb == "resume":
+            st = lifecycle.resume(cfg.target)
+        else:
+            import os
+
+            st = lifecycle.remove(
+                cfg.target,
+                stream_checkpoint=cfg.stream_checkpoint
+                or os.path.join(cfg.target, "_stream_ckpt"),
+                drop_data=a.drop_data,
+            )
+        print(json.dumps({"verb": a.verb, "result": st}))
+        return 0
+
     engine = build_engine(cfg)
 
     if cfg.sink_type == "mq":
@@ -213,6 +283,34 @@ def main(argv=None) -> int:
     if a.verb == "gc":  # manifest-level too — no Spark session
         print(json.dumps({"verb": "gc", "result": _gc(cfg, engine)}))
         return 0
+    if a.verb == "validate":
+        # read-only full-table audit against the committed per-bucket
+        # checksums (dm/syncer/data_validator.go full-check mode); allowed
+        # while paused — it never writes
+        from tiflow_spark.lake import ChecksumDrift
+
+        spark = _session(a.master)
+        try:
+            if cfg.multi_table:
+                result = {
+                    name: t.verify_snapshot(spark)
+                    for name, t in engine.tables.items()
+                }
+            else:
+                result = engine.table.verify_snapshot(spark)
+        except ChecksumDrift as e:
+            raise SystemExit(f"validation failed: {e}")
+        finally:
+            spark.stop()
+        print(json.dumps({"verb": "validate", "result": result}))
+        return 0
+
+    # replication verbs respect the admin state (the owner skips stopped
+    # changefeeds); create re-registers a removed feed id
+    if a.verb == "create":
+        lifecycle.activate(cfg.target)
+    else:
+        lifecycle.check_runnable(cfg.target)
 
     spark = _session(a.master)
     try:

@@ -54,6 +54,7 @@ class ChangefeedConfig:
     syncpoint_every: int | None = None
     num_buckets: int = 32
     validate_resolved: bool = True
+    validate_state: bool = False  # per-epoch downstream checksum validation
     ignore_txn_start_ts: list[int] = field(default_factory=list)
     event_filter: str | None = None
     routes: list[RouteRule] = field(default_factory=list)
@@ -81,9 +82,9 @@ def load_config(path: str) -> ChangefeedConfig:
 
     top_keys = {
         "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
-        "syncpoint-every", "num-buckets", "validate-resolved", "gc-keep-last",
-        "filter", "routes", "stream-checkpoint", "max-files-per-trigger",
-        "sink",
+        "syncpoint-every", "num-buckets", "validate-resolved",
+        "validate-state", "gc-keep-last", "filter", "routes",
+        "stream-checkpoint", "max-files-per-trigger", "sink",
     }
     unknown = set(raw) - top_keys
     if unknown:
@@ -124,6 +125,7 @@ def load_config(path: str) -> ChangefeedConfig:
         syncpoint_every=raw.get("syncpoint-every") or None,
         num_buckets=int(raw.get("num-buckets", 32)),
         validate_resolved=bool(raw.get("validate-resolved", True)),
+        validate_state=bool(raw.get("validate-state", False)),
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
         routes=routes,
@@ -162,10 +164,13 @@ def build_engine(cfg: ChangefeedConfig):
             LakeTable(cfg.target, num_buckets=cfg.num_buckets),
             ignore_txn_start_ts=cfg.ignore_txn_start_ts,
             event_filter=cfg.event_filter,
+            validate_after_apply=cfg.validate_state,
         )
     tables = {
         r.target: LakeTable(
-            os.path.join(cfg.target, r.target), num_buckets=cfg.num_buckets
+            os.path.join(cfg.target, r.target),
+            num_buckets=cfg.num_buckets,
+            checksums=cfg.validate_state,
         )
         for r in cfg.routes
     }

@@ -117,6 +117,38 @@ def validate_resolved_contract(
         )
 
 
+def count_log_segments(log_path: str) -> int:
+    """Number of data segments (.parquet) in a log tree, sidecars excluded.
+    Name-listing only — no per-file stat — so it's one cheap LIST per
+    directory on an object store."""
+    import os
+
+    n = 0
+    for root, dirs, files in os.walk(log_path):
+        dirs[:] = [x for x in dirs if not x.startswith("_")]
+        n += sum(1 for fn in files if fn.endswith(".parquet"))
+    return n
+
+
+def write_control_coverage(log_path: str) -> None:
+    """Record the sidecar's high-watermark: how many log segments existed
+    when the ``_control`` sidecar was last written. ``read_control`` compares
+    the current segment count against it — a constant-size read plus one
+    name listing — instead of stat'ing every file for mtimes (unreliable on
+    object stores, and the walk itself dominates at 10^10-event logs).
+    Producers call this after appending sidecar segments."""
+    import os
+
+    ctl_dir = os.path.join(log_path, "_control")
+    cov = {"n_segments": count_log_segments(log_path)}
+    tmp = os.path.join(ctl_dir, f"_COVERAGE.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(cov, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(ctl_dir, "_COVERAGE"))
+
+
 def read_control(spark, log_path: str, low_ts: int, cols) -> list:
     """Control rows (R + DDL) above ``low_ts``. Prefers the
     ``log/_control`` sidecar — the producer mirrors control rows there (the
@@ -124,13 +156,15 @@ def read_control(spark, log_path: str, low_ts: int, cols) -> list:
     from the main data scan — so the control plane reads a handful of rows
     instead of scanning the whole log for them (at 10^10 events the full
     scan would dominate the epoch loop). Logs without a sidecar (raw
-    appends) fall back to the full scan — as does a *stale* sidecar: if any
-    log segment is newer than the newest sidecar segment (a producer
+    appends) fall back to the full scan — as does a *stale* sidecar: if the
+    log grew segments after the sidecar was last written (a producer
     appended data without mirroring control rows, e.g. a raw tail after
     generation), its R/DDL rows would be invisible and the checkpoint would
-    silently stall, so we detect the lag by mtime and take the full scan.
-    Producers that want the fast path must append sidecar segments together
-    with (or after) the log segments they cover — the generator does."""
+    silently stall. Staleness check: the ``_COVERAGE`` high-watermark
+    (segment count at sidecar write time, one name listing — no stats);
+    sidecars from older producers without one fall back to the mtime walk.
+    Producers that want the fast path must call ``write_control_coverage``
+    after appending sidecar segments — the generator does."""
     import os
 
     def _max_mtime(d):
@@ -145,7 +179,13 @@ def read_control(spark, log_path: str, low_ts: int, cols) -> list:
     ctl_dir = os.path.join(log_path, "_control")
     src_path = log_path
     if os.path.isdir(ctl_dir):
-        if _max_mtime(ctl_dir) >= _max_mtime(log_path):
+        cov_fp = os.path.join(ctl_dir, "_COVERAGE")
+        if os.path.exists(cov_fp):
+            with open(cov_fp) as f:
+                covered = int(json.load(f).get("n_segments", -1))
+            if count_log_segments(log_path) <= covered:
+                src_path = ctl_dir
+        elif _max_mtime(ctl_dir) >= _max_mtime(log_path):
             src_path = ctl_dir
     src = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(src_path)
     return (
@@ -285,11 +325,21 @@ class ChangefeedEngine:
         table: LakeTable,
         ignore_txn_start_ts: list[int] | None = None,
         event_filter: str | None = None,
+        validate_after_apply: bool = False,
     ):
         self.log_path = log_path
         self.table = table
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
+        if validate_after_apply:
+            # continuous downstream validation (DM data_validator,
+            # dm/syncer/data_validator.go:62-196): every commit records
+            # per-bucket content checksums, and every epoch re-verifies the
+            # buckets it touches against the digests the previous apply
+            # committed — drift injected between epochs (a corrupted or
+            # out-of-band-edited target file) raises ChecksumDrift at the
+            # next epoch instead of silently folding into new state.
+            self.table.checksums = True
 
     # ------------------------------------------------------------ bootstrap
     def bootstrap(

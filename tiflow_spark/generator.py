@@ -317,6 +317,12 @@ def generate_changefeed(
     ctl_dir = os.path.join(log_dir, "_control")
     os.makedirs(ctl_dir, exist_ok=True)
     pq.write_table(ctl, os.path.join(ctl_dir, "control-00000.parquet"))
+    # high-watermark for the consumer's staleness check (one listing, no
+    # per-file stats; a raw segment appended later makes the count exceed
+    # it and read_control falls back to the full scan)
+    from tiflow_spark.engine import write_control_coverage
+
+    write_control_coverage(log_dir)
     return GeneratedFeed(
         base_path=base_fp,
         log_path=log_dir,

@@ -54,11 +54,36 @@ class CommitConflict(Exception):
     """Epoch fence violation (would-be lost update or out-of-order epoch)."""
 
 
+class ChecksumDrift(Exception):
+    """Downstream state no longer matches its committed checksums — the
+    data files were modified outside the replication path (the condition
+    DM's continuous validator exists to catch,
+    dm/syncer/data_validator.go:62-196)."""
+
+
 class LakeTable:
-    def __init__(self, path: str, key_cols=("conv_id", "turn_idx"), num_buckets: int = 16):
+    def __init__(
+        self,
+        path: str,
+        key_cols=("conv_id", "turn_idx"),
+        num_buckets: int = 16,
+        checksums: bool = False,
+    ):
+        """``checksums``: continuous downstream validation (DM's
+        data_validator, dm/syncer/data_validator.go:62-196, reshaped for a
+        snapshot store). Every commit records per-bucket {row count, content
+        crc} in the manifest, computed by reading back the just-written
+        files; every subsequent MERGE re-verifies the buckets it is about to
+        fold new events onto — so out-of-band drift (a corrupted or manually
+        edited data file) is detected the next time the bucket is touched,
+        BEFORE the drift propagates into a new commit. ``verify_snapshot``
+        audits the whole table point-in-time. Off by default: it adds one
+        read-back scan of written buckets per commit and one verify scan of
+        read buckets per merge."""
         self.path = path
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
+        self.checksums = checksums
         self._manifest_dir = os.path.join(path, "_manifests")
         self._current_ptr = os.path.join(path, "_CURRENT")
 
@@ -182,6 +207,108 @@ class LakeTable:
                     )
         return entries
 
+    # ------------------------------------------------------------ checksums
+    def _bucket_checksums(self, df: DataFrame, payload_names) -> dict:
+        """Per-bucket {rows, crc} over ``key_cols + payload_names``.
+
+        Row canonical form is ``to_json(struct(cols), ignoreNullFields=false)``
+        (deterministic field order, NULLs kept so (a, NULL) ≠ (NULL, a)),
+        hashed with xxhash64 and summed per bucket — an order-independent
+        content digest. The sum runs in decimal(38,0) (ANSI-safe: a long sum
+        of 2^63-scale hashes would overflow) and is stored mod 2^64. The
+        bucket is recomputed from the key (``bucket_expr``), so a corruption
+        that rewrites a key still perturbs some bucket's digest. One
+        groupBy(bucket) with map-side partial aggregation — no shuffle wider
+        than num_buckets rows."""
+        cols = [*self.key_cols, *payload_names]
+        h = F.xxhash64(
+            F.to_json(
+                F.struct(*[F.col(c) for c in cols]),
+                {"ignoreNullFields": "false"},
+            )
+        )
+        rows = (
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_cols, self.num_buckets))
+            .groupBy(BUCKET_COL)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(h.cast("decimal(38,0)")).alias("crc"),
+            )
+            .collect()
+        )
+        return {
+            str(r[BUCKET_COL]): {"rows": int(r["rows"]),
+                                 "crc": str(int(r["crc"]) % (1 << 64))}
+            for r in rows
+        }
+
+    def _checksums_of_entries(
+        self, spark: SparkSession, registry: SchemaRegistry, entries: list[dict]
+    ) -> dict:
+        """Recompute per-bucket checksums from on-disk manifest entries.
+        Files are read RAW at the version they were written under (one scan
+        per distinct version — CoW rewrites whole buckets, so a bucket is
+        single-version) over exactly the columns the write-side digest used."""
+        by_version: dict[int, list[str]] = {}
+        for e in entries:
+            by_version.setdefault(e["schema_version"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        got: dict[str, dict] = {}
+        for v, paths in sorted(by_version.items()):
+            names = [f.name for f in registry.get(v).fields]
+            got.update(self._bucket_checksums(spark.read.parquet(*paths), names))
+        return got
+
+    def _verify_entries(
+        self, spark: SparkSession, manifest: dict, entries: list[dict], when: str
+    ) -> int:
+        """Compare on-disk content of ``entries`` against the manifest's
+        committed checksums; raise ChecksumDrift on any divergence. Buckets
+        without a committed digest (table predates the knob) are skipped —
+        coverage grows as buckets are touched. Returns buckets checked."""
+        stored = manifest.get("checksums") or {}
+        want = {
+            b: stored[b]
+            for b in {str(e["bucket"]) for e in entries}
+            if b in stored
+        }
+        if not want:
+            return 0
+        registry = SchemaRegistry.from_json(manifest["registry"])
+        checked = [e for e in entries if str(e["bucket"]) in want]
+        got = self._checksums_of_entries(spark, registry, checked)
+        drift = []
+        for b, w in sorted(want.items(), key=lambda kv: int(kv[0])):
+            g = got.get(b, {"rows": 0, "crc": "0"})
+            if g["rows"] != w["rows"] or g["crc"] != w["crc"]:
+                drift.append(
+                    f"bucket {b}: rows {g['rows']}!={w['rows']} "
+                    f"crc {g['crc']}!={w['crc']}"
+                )
+        if drift:
+            raise ChecksumDrift(
+                f"{self.path} {when}: {len(drift)} bucket(s) diverged from "
+                f"their committed checksums — downstream was modified outside "
+                f"replication: {'; '.join(drift[:8])}"
+            )
+        return len(want)
+
+    def verify_snapshot(self, spark: SparkSession, manifest: dict | None = None) -> dict:
+        """Point-in-time audit: every live data file vs the committed
+        per-bucket checksums (the validator's full-table mode; per-epoch
+        incremental mode is the MERGE-time verify)."""
+        m = manifest or self.current_manifest()
+        if m is None:
+            raise FileNotFoundError(f"lake table {self.path} has no snapshot")
+        checked = self._verify_entries(spark, m, m["files"], "verify_snapshot")
+        return {
+            "ok": True,
+            "buckets_checked": checked,
+            "buckets_uncovered": len({e["bucket"] for e in m["files"]}) - checked,
+            "epoch": m["epoch"],
+        }
+
     def create(
         self,
         spark: SparkSession,
@@ -194,6 +321,11 @@ class LakeTable:
         if self.exists():
             raise FileExistsError(f"lake table {self.path} already exists")
         files = self._write_data(df, registry.current.version)
+        checksums = (
+            self._checksums_of_entries(spark, registry, files)
+            if self.checksums
+            else None
+        )
         key_types = {
             f.name: f.dataType.simpleString()
             for f in df.schema.fields
@@ -211,6 +343,8 @@ class LakeTable:
             "files": files,
             "lineage": [],
         }
+        if checksums is not None:
+            manifest["checksums"] = checksums
         assert self._commit(manifest)
 
     # ------------------------------------------------- resumable bootstrap
@@ -291,6 +425,8 @@ class LakeTable:
             state["inflight"] = None
             _persist()
             written += 1
+        all_files = [e for k in sorted(state["done"], key=int)
+                     for e in state["done"][k]]
         manifest = {
             "epoch": 0,
             "checkpoint_ts": checkpoint_ts,
@@ -300,10 +436,16 @@ class LakeTable:
             "registry": registry.to_json(),
             "key_cols": self.key_cols,
             "num_buckets": self.num_buckets,
-            "files": [e for k in sorted(state["done"], key=int)
-                      for e in state["done"][k]],
+            "files": all_files,
             "lineage": [],
         }
+        if self.checksums:
+            # one read-back over the finished dump — the initial full audit
+            # baseline (cheap relative to the dump itself, and it runs after
+            # a resume too since it is keyed off the final file list)
+            manifest["checksums"] = self._checksums_of_entries(
+                spark, registry, all_files
+            )
         assert self._commit(manifest)
         os.remove(state_fp)
         return written
@@ -514,6 +656,14 @@ class LakeTable:
             keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
             read_files = [e for e in m["files"] if e["bucket"] in affected_set]
 
+        if self.checksums and read_files:
+            # continuous validation (dm/syncer/data_validator.go:62-196):
+            # before folding this epoch's events onto the buckets it touches,
+            # confirm their on-disk content still matches the checksums the
+            # LAST commit recorded — out-of-band drift is refused here,
+            # before it can propagate into a new commit
+            self._verify_entries(spark, m, read_files, f"epoch {epoch} merge")
+
         upserts = changes.filter(F.col("op") != "D").select(
             *self.key_cols, *payload_names, BUCKET_COL
         )
@@ -602,6 +752,19 @@ class LakeTable:
         else:
             new_files = self._write_data(upserts, cur_version)
 
+        checksums = None
+        if self.checksums:
+            # read back what was just written (the digest is over the bytes
+            # readers will see); kept buckets carry their digests forward —
+            # truncate/partition-cut paths rewrite everything, so keep_files
+            # is empty there and the carried set is empty with it
+            kept_buckets = {str(e["bucket"]) for e in keep_files}
+            prev = m.get("checksums") or {}
+            checksums = {b: prev[b] for b in kept_buckets if b in prev}
+            checksums.update(
+                self._checksums_of_entries(spark, registry, new_files)
+            )
+
         lineage = list(m.get("lineage", []))
         for ln in lineage_rows or []:
             lineage.append({"epoch": epoch, **ln})
@@ -640,4 +803,6 @@ class LakeTable:
             "lineage": lineage,
             "syncpoints": syncpoints,
         }
+        if checksums is not None:
+            manifest["checksums"] = checksums
         return self._commit(manifest)
