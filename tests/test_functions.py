@@ -350,3 +350,58 @@ def test_minhash_index_persist_and_match(spark, docs, tmp_path):
     p2 = {(r["doc_a"], r["doc_b"])
           for r in only_corpus.match(spark, batch, include_intra_batch=False).collect()}
     assert (11, 12) not in p2 and (0, 10) in p2
+
+
+def test_bmp_pixel_codec_roundtrip_and_resize():
+    """decode_bmp/encode_bmp round-trip byte-exactly on non-constant pixel
+    data (padding, bottom-up rows, BGR order all exercised), and
+    nearest-neighbor resize picks exact source pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    blob = multimodal.encode_bmp(pix)
+    back = multimodal.decode_bmp(blob)
+    assert np.array_equal(back, pix)
+    assert multimodal.encode_bmp(back) == blob
+    # header fields readable by the existing header decoder
+    meta = multimodal.decode_media_header(blob)
+    assert (meta["fmt"], meta["width"], meta["height"]) == ("bmp", 7, 5)
+    small = multimodal.resize_nearest(pix, 3, 2)
+    assert small.shape == (2, 3, 3)
+    ys = (np.arange(2) * 5) // 2
+    xs = (np.arange(3) * 7) // 3
+    assert np.array_equal(small, pix[ys][:, xs])
+    with pytest.raises(ValueError):  # payload-less header-only BMP
+        multimodal.decode_bmp(multimodal.make_bmp(4, 4))
+    bad = bytearray(multimodal.make_bmp(4, 4, (1, 2, 3)))
+    bad[28] = 8  # biBitCount = 8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_bmp(bytes(bad))
+
+
+def test_video_split_and_frame_sample(spark):
+    """split_video walks frames by bfSize; frame_sample decodes every 2nd
+    frame with exact per-frame constant colors; a desynced container
+    raises instead of yielding garbage."""
+    import numpy as np
+
+    frames = [multimodal.make_bmp(6, 3, (10 + f, 20 + f, 30 + f)) for f in range(4)]
+    video = b"".join(frames)
+    parts = multimodal.split_video(video)
+    assert parts == frames
+    with pytest.raises(ValueError, match="desync"):
+        multimodal.split_video(video[:-3])
+
+    docs = spark.createDataFrame([(7,), (8,)], "doc_id long")
+    out = multimodal.frame_sample(
+        multimodal.synthesize_video(docs), stride=2
+    ).collect()
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    # doc 7: 1 + 7%5 = 3 frames -> sampled {0, 2}; doc 8: 4 frames -> {0, 2}
+    assert set(by_key) == {(7, 0), (7, 2), (8, 0), (8, 2)}
+    r = by_key[(7, 2)]
+    assert (r["width"], r["height"]) == (8 + 7 % 8, 4 + 7 % 4)
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
+        (7 + 2) % 256, (7 * 3 + 2) % 256, (7 * 5 + 2) % 256
+    )

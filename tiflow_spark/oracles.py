@@ -722,4 +722,35 @@ SELECT doc_id,
        AS INTEGER) AS n_samples
 FROM documents
 """,
+    # decode -> half-scale nearest-neighbor resize -> re-encode of
+    # constant-color 24bpp BMPs: every field (incl. the re-encoded byte
+    # length, 54 header bytes + 4-byte-padded rows) is doc_id arithmetic
+    "mm_resize": """
+SELECT doc_id,
+  CAST(8 + doc_id % 16 AS INTEGER) AS in_w,
+  CAST(4 + doc_id % 8 AS INTEGER) AS in_h,
+  CAST((8 + doc_id % 16) // 2 AS INTEGER) AS out_w,
+  CAST((4 + doc_id % 8) // 2 AS INTEGER) AS out_h,
+  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+  CAST(doc_id * 7 % 256 AS INTEGER) AS mean_g,
+  CAST(doc_id * 13 % 256 AS INTEGER) AS mean_b,
+  CAST(54 + (((8 + doc_id % 16) // 2 * 3 + 3) // 4 * 4)
+           * ((4 + doc_id % 8) // 2) AS BIGINT) AS out_bytes
+FROM documents
+""",
+    # stride-2 frame sampling of 1 + id%5 concatenated constant-color BMP
+    # frames: generate_series is inclusive, so 0..id%5 step 2 IS the
+    # sampled index set; per-frame means are (id, frame) arithmetic
+    "mm_frame_sample": """
+SELECT d.doc_id,
+  CAST(t.f AS INTEGER) AS frame_idx,
+  CAST(8 + d.doc_id % 8 AS INTEGER) AS width,
+  CAST(4 + d.doc_id % 4 AS INTEGER) AS height,
+  CAST((d.doc_id + t.f) % 256 AS INTEGER) AS mean_r,
+  CAST((d.doc_id * 3 + t.f) % 256 AS INTEGER) AS mean_g,
+  CAST((d.doc_id * 5 + t.f) % 256 AS INTEGER) AS mean_b
+FROM documents d
+CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS f) t
+WHERE t.f <= d.doc_id % 5 AND t.f % 2 = 0
+""",
 }

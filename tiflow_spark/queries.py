@@ -884,6 +884,27 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media_meta(media)
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel loop over synthesized 24-bpp BMPs with constant-color
+    payloads: Arrow-batched decode → nearest-neighbor half-scale resize →
+    re-encode. Every output column is pure doc_id arithmetic (the resized
+    container's byte length included), so the oracle pins decode, resample,
+    and re-encode together — the resize/feature-extract stage of a
+    multimodal ingest pipeline (PIL-backed formats remain behind the
+    declared decode_image stub)."""
+    media = multimodal.synthesize_pixel_media(_documents(spark, sf_dir))
+    return multimodal.resize_media(media, scale=0.5)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over concatenated-BMP 'videos': the
+    container is walked by each frame's own bfSize field, every second
+    frame is pixel-decoded, one row per sampled frame. Frame counts, dims,
+    and per-frame means are doc_id/frame arithmetic for the oracle."""
+    media = multimodal.synthesize_video(_documents(spark, sf_dir))
+    return multimodal.frame_sample(media, stride=2)
+
+
 QUERIES = {
     "cdc_lww_replay": cdc_lww_replay,
     "cdc_canonical_order": cdc_canonical_order,
@@ -926,4 +947,6 @@ QUERIES = {
     "text_quality": text_quality,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_meta": mm_decode_meta,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
