@@ -43,6 +43,8 @@ HEADLINE = [
     "text_fingerprint",
     "mm_binary_meta",
     "mm_decode_meta",
+    "mm_resize",
+    "mm_frame_sample",
     # encode-codec queries (cdc_encode_*) are excluded like the other wire
     # codecs: full-corpus hex-string materialization is oracle-evidence, not
     # a throughput headline

@@ -423,3 +423,25 @@ validate-state = true
     bad = cli("validate", "--config", cfg_path, "--master", "local[4]",
               ok=False)
     assert "validation failed" in bad.stderr
+
+
+def test_config_bootstrap_chunk_files_and_validate_state(feed, tmp_path):
+    """New config knobs parse and reach the engine: bootstrap-chunk-files
+    (resumable dump restore) and validate-state (continuous checksums)."""
+    from tiflow_spark.config import build_engine, load_config
+
+    f, d = feed
+    cfg_path = str(tmp_path / "knobs.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{tmp_path / 'knobs_target'}"
+base = "{f.base_path}"
+num-buckets = 4
+bootstrap-chunk-files = 2
+validate-state = true
+""")
+    cfg = load_config(cfg_path)
+    assert cfg.bootstrap_chunk_files == 2 and cfg.validate_state
+    eng = build_engine(cfg)
+    assert eng.table.checksums  # validate_after_apply reached the table

@@ -114,6 +114,10 @@ def test_topic_relay_replays_to_same_table(feed, tmp_path, spark, protocol):
     assert len(src_epochs) > 1  # multi-epoch publish
 
     log2 = topic_to_log(spark, sink, str(tmp_path / f"relay_log_{protocol}"))
+    # the relay mirrors its (driver-side) control rows into a sidecar with a
+    # coverage watermark, so replaying a relayed log takes the fast
+    # control-plane path just like a generated one
+    assert os.path.exists(os.path.join(log2, "_control", "_COVERAGE"))
     eng = ChangefeedEngine(
         log2, LakeTable(str(tmp_path / f"relay_t_{protocol}"), num_buckets=8)
     )

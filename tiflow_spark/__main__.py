@@ -78,12 +78,20 @@ def _session(master: str):
 
 def _bootstrap(spark, cfg: ChangefeedConfig, engine) -> None:
     if cfg.multi_table:
+        if cfg.bootstrap_chunk_files:
+            raise SystemExit(
+                "bootstrap-chunk-files is a single-table option (multi-table "
+                "dumps restore per-table; chunk each table's feed instead)"
+            )
         bases = {r.target: r.base for r in cfg.routes if r.base}
         engine.bootstrap(spark, bases, start_ts=cfg.start_ts)
     else:
         if not cfg.base:
             raise SystemExit("create requires `base` (the full dump) in the config")
-        engine.bootstrap(spark, cfg.base, start_ts=cfg.start_ts)
+        engine.bootstrap(
+            spark, cfg.base, start_ts=cfg.start_ts,
+            chunk_files=cfg.bootstrap_chunk_files,
+        )
 
 
 def _gc(cfg: ChangefeedConfig, engine) -> dict:

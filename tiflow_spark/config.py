@@ -55,6 +55,7 @@ class ChangefeedConfig:
     num_buckets: int = 32
     validate_resolved: bool = True
     validate_state: bool = False  # per-epoch downstream checksum validation
+    bootstrap_chunk_files: int | None = None  # resumable dump restore (S5)
     ignore_txn_start_ts: list[int] = field(default_factory=list)
     event_filter: str | None = None
     routes: list[RouteRule] = field(default_factory=list)
@@ -83,8 +84,8 @@ def load_config(path: str) -> ChangefeedConfig:
     top_keys = {
         "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
         "syncpoint-every", "num-buckets", "validate-resolved",
-        "validate-state", "gc-keep-last", "filter", "routes",
-        "stream-checkpoint", "max-files-per-trigger", "sink",
+        "validate-state", "bootstrap-chunk-files", "gc-keep-last", "filter",
+        "routes", "stream-checkpoint", "max-files-per-trigger", "sink",
     }
     unknown = set(raw) - top_keys
     if unknown:
@@ -126,6 +127,7 @@ def load_config(path: str) -> ChangefeedConfig:
         num_buckets=int(raw.get("num-buckets", 32)),
         validate_resolved=bool(raw.get("validate-resolved", True)),
         validate_state=bool(raw.get("validate-state", False)),
+        bootstrap_chunk_files=raw.get("bootstrap-chunk-files") or None,
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
         routes=routes,

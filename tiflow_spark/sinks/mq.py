@@ -555,4 +555,17 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
         )
     _os.makedirs(out_dir, exist_ok=True)
     out.write.mode("overwrite").parquet(out_dir)
+    # control sidecar + coverage watermark: the R/DDL rows are already on
+    # the driver, so mirror them under _control/ — replaying a relayed log
+    # then takes the same O(control-rows) fast path as a generated one
+    # instead of full-scanning the log for its handful of control rows
+    if extra:
+        ctl_dir = _os.path.join(out_dir, "_control")
+        _os.makedirs(ctl_dir, exist_ok=True)
+        spark.createDataFrame(extra, CHANGE_EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ctl_dir)
+        from tiflow_spark.engine import write_control_coverage
+
+        write_control_coverage(out_dir)
     return out_dir

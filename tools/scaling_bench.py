@@ -117,6 +117,15 @@ def main() -> None:
         s = results[small]["replay_sec"] / results[big]["replay_sec"]
         return s, s / (big / small)
 
+    def low_core_gm(pairs) -> str:
+        import math
+
+        low = [(a, b) for a, b in pairs if b <= 8]
+        if not low:
+            return "n/a"
+        gm = math.exp(sum(math.log(eff(a, b)[1]) for a, b in low) / len(low))
+        return f"{gm:.2f}"
+
     pairs = [
         (levels[i], levels[j])
         for i in range(len(levels))
@@ -145,7 +154,17 @@ def main() -> None:
         f"| {a} → {b} cores (N → 4N) | {eff(a, b)[0]:.2f}× | **{eff(a, b)[1]:.3f}** |"
         for a, b in pairs
     )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve the manually-maintained sections (## Headline at HEAD,
+    # ## spark-submit evidence, ...) — only the scaling block is regenerated
+    bench_fp = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_fp):
+        with open(bench_fp) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(bench_fp, "w") as f:
         f.write(f"""# BENCH — measured scaling evidence
 
 Protocol (BASELINE.md "Sandbox evidence protocol"): identical seed-fixed
@@ -172,18 +191,18 @@ faithful analogue of N → 4N *executors* — separate executors bring their own
 memory and disks, which is exactly what the added cores here do not. The
 high-core pair is reported unmodified for transparency.
 
-Run-to-run variance on this shared sandbox host is ±10-15% per level
-(measured: local[1] 301-334 s, local[8] 44-54 s across full re-runs), which
-the min-of-2-trials protocol only partially cancels. The 1 → 4 pair
-overshooting 1.0 is an artifact of that plus Amdahl on the single-core run:
-all driver-side serial work (control-plane collect, resolved-contract
-validation, commit bookkeeping) and JVM GC share the one core, deflating
-the local[1] baseline. The 2 → 8 pair is the cleanest N → 4N executor
-analogue on this box; together the two low-core pairs bracket the ≥0.8
-target (geometric mean ≈ 0.96).
+Run-to-run variance on this shared sandbox host is ±10-15% per level under
+normal load and worse in contention windows, which the min-of-trials
+protocol (2 trials per level per sweep; minima merge across sweeps) only
+partially cancels. Amdahl on the single-core run also skews the 1 → 4 pair
+upward: all driver-side serial work (control-plane collect,
+resolved-contract validation, commit bookkeeping) and JVM GC share the one
+core, deflating the local[1] baseline. The 2 → 8 pair is the cleanest
+N → 4N executor analogue on this box. Low-core-pair geometric mean this
+sweep: **{low_core_gm(pairs)}** (target ≥ 0.8).
 
 Regenerate: `PYTHONPATH=. python tools/scaling_bench.py {n_events} {' '.join(str(c) for c in levels)}`
-""")
+{tail}""")
     print("# wrote BENCH.md")
 
 
