@@ -178,3 +178,40 @@ def test_control_coverage_high_watermark(spark, tmp_path):
     rows = read_control(spark, log_dir, 0, ["op", "commit_ts", "seq"])
     assert any(r["commit_ts"] == 500 for r in rows)  # new R visible
     assert not any(r["commit_ts"] == 999 for r in rows)  # sidecar distrusted
+
+
+def test_lineage_compaction_bounded_and_conservation_exact(spark, tmp_path):
+    """Manifest lineage detail stays O(lineage_keep x buckets) — the full
+    history would make every commit rewrite an O(epochs x buckets)
+    manifest — while totals + detail keep the event accounting exact."""
+    base = [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")]
+    events, seq = [], 0
+    n_epochs = 7
+    for e in range(n_epochs):
+        ts = 100 + e * 10
+        events.append(ev(seq, "U", ts, "c1", 0, pl(f"v{e}"))); seq += 1
+        events.append(ev(seq, "R", ts + 5)); seq += 1
+    base_fp, log_dir = write_feed(tmp_path, events, base, final_resolved=False)
+
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2, lineage_keep=2)
+    eng = ChangefeedEngine(log_dir, table)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark, barrier_stride=1)
+
+    m = table.current_manifest()
+    assert m["epoch"] == n_epochs
+    detail_epochs = {r["epoch"] for r in m["lineage"]}
+    assert detail_epochs == {n_epochs - 1, n_epochs}  # window of 2
+    totals = table.lineage_totals()
+    assert totals and all(t["through_epoch"] <= n_epochs - 2
+                          for t in totals.values())
+    # conservation: totals + detail == one event per epoch
+    total_events = sum(t["applied_events"] for t in totals.values()) + sum(
+        r["applied_events"] for r in m["lineage"]
+    )
+    assert total_events == n_epochs
+    # max_commit_ts monotonicity: the newest ts lives in the detail rows
+    assert max(r["max_commit_ts"] for r in m["lineage"]) == 100 + (n_epochs - 1) * 10
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(), sequential_apply(base_fp, log_dir)
+    )

@@ -68,6 +68,7 @@ class LakeTable:
         key_cols=("conv_id", "turn_idx"),
         num_buckets: int = 16,
         checksums: bool = False,
+        lineage_keep: int = 64,
     ):
         """``checksums``: continuous downstream validation (DM's
         data_validator, dm/syncer/data_validator.go:62-196, reshaped for a
@@ -79,11 +80,22 @@ class LakeTable:
         BEFORE the drift propagates into a new commit. ``verify_snapshot``
         audits the whole table point-in-time. Off by default: it adds one
         read-back scan of written buckets per commit and one verify scan of
-        read buckets per merge."""
+        read buckets per merge.
+
+        ``lineage_keep``: per-epoch lineage detail kept in the manifest.
+        Lineage rows accumulate one per touched bucket per epoch; carrying
+        the full history forever makes every commit rewrite an
+        O(epochs × buckets) manifest — at 10^6 epochs the manifest itself
+        becomes the bottleneck. Rows older than the newest ``lineage_keep``
+        epochs compact into per-bucket cumulative totals
+        (``lineage_totals``: summed applied_events, max commit_ts,
+        through_epoch), so the accounting stays conservation-exact while
+        the manifest stays O(lineage_keep × buckets)."""
         self.path = path
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self.checksums = checksums
+        self.lineage_keep = lineage_keep
         self._manifest_dir = os.path.join(path, "_manifests")
         self._current_ptr = os.path.join(path, "_CURRENT")
 
@@ -529,8 +541,18 @@ class LakeTable:
             raise KeyError(f"no sync point recorded at primary_ts={primary_ts}")
         return self.read(spark, self.manifest_for_epoch(sp["epoch"]))
 
+    def lineage_totals(self) -> dict:
+        """Per-bucket cumulative lineage for epochs compacted out of the
+        detail window: {bucket: {applied_events, max_commit_ts,
+        through_epoch}}. totals + ``lineage()`` detail = the full history
+        (conservation-exact)."""
+        m = self.current_manifest()
+        return dict((m or {}).get("lineage_totals", {}))
+
     def lineage(self, spark: SparkSession) -> DataFrame:
-        """Per-partition lineage rows (FIXTURES.md F4) from manifest history."""
+        """Per-partition lineage rows (FIXTURES.md F4) from manifest
+        history — per-epoch detail for the newest ``lineage_keep`` epochs;
+        older epochs live compacted in ``lineage_totals()``."""
         m = self.current_manifest()
         rows = []
         if m:
@@ -768,10 +790,41 @@ class LakeTable:
         lineage = list(m.get("lineage", []))
         for ln in lineage_rows or []:
             lineage.append({"epoch": epoch, **ln})
+        # bounded lineage: compact rows older than the keep window into
+        # per-bucket cumulative totals (conservation-exact; see __init__)
+        totals = dict(m.get("lineage_totals", {}))
+        keep_from = epoch - self.lineage_keep + 1
+        if any(r["epoch"] < keep_from for r in lineage):
+            kept = []
+            for r in lineage:
+                if r["epoch"] >= keep_from:
+                    kept.append(r)
+                    continue
+                b = str(r["bucket"])
+                t = totals.get(
+                    b,
+                    {"applied_events": 0, "max_commit_ts": -1,
+                     "through_epoch": -1},
+                )
+                totals[b] = {
+                    "applied_events": t["applied_events"] + r["applied_events"],
+                    "max_commit_ts": max(t["max_commit_ts"], r["max_commit_ts"]),
+                    "through_epoch": max(t["through_epoch"], r["epoch"]),
+                }
+            lineage = kept
         # sync points (TiCDC syncpoint_v1 analogue): this epoch's snapshot
         # IS the downstream state at exactly primary_ts — record the pair
         # so upstream@primary_ts and read_at_epoch(epoch) can be diffed
         syncpoints = list(m.get("syncpoints", []))
+        if syncpoints:
+            # a sync point whose manifest was GC'd is unreadable
+            # (read_at_syncpoint -> manifest_for_epoch would fail) — drop
+            # dead entries so the list tracks the GC retention window
+            # instead of growing forever; one name listing per commit
+            live = {
+                int(n[1:].split(".")[0]) for n in os.listdir(self._manifest_dir)
+            }
+            syncpoints = [s for s in syncpoints if s["epoch"] in live]
         if syncpoint:
             syncpoints.append({"primary_ts": checkpoint_ts, "epoch": epoch})
         manifest = {
@@ -801,6 +854,7 @@ class LakeTable:
             "num_buckets": self.num_buckets,
             "files": keep_files + new_files,
             "lineage": lineage,
+            "lineage_totals": totals,
             "syncpoints": syncpoints,
         }
         if checksums is not None:
