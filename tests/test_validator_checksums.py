@@ -164,3 +164,61 @@ def test_coverage_grows_when_enabled_mid_life(spark, tmp_path):
     rep = table.verify_snapshot(spark)
     assert rep["ok"]
     assert rep["buckets_checked"] == len(m["checksums"])
+
+
+def test_row_image_validation_green_on_real_replay(spark, tmp_path):
+    """validate_rows=True: every epoch's applied keys re-read and compared
+    against the fold's post-images — a clean replay passes and still
+    matches the sequential oracle; deletes are verified absent."""
+    base = [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00"),
+            ("c2", 0, "user", "w0", None, "2024-01-01T00:00:00")]
+    events = [
+        ev(0, "U", 120, "c1", 0, pl("e1")),
+        ev(1, "D", 130, "c2", 0),
+        ev(2, "R", 150),
+        ev(3, "I", 160, "c3", 0, pl("n1")),
+        ev(4, "R", 200),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, base, final_resolved=False)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table, validate_rows=True)
+    eng.bootstrap(spark, base_fp)
+    st = eng.run(spark, barrier_stride=1)
+    assert len(st.epochs) == 2
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(), sequential_apply(base_fp, log_dir)
+    )
+
+
+def test_row_image_validation_detects_apply_divergence(spark, tmp_path):
+    """Direct contract: validate_applied_rows raises RowImageMismatch when
+    the committed rows differ from the expected post-images (simulating an
+    apply/write-path corruption the checksum validator's pre-merge check
+    would only catch an epoch later)."""
+    from tiflow_spark.engine import RowImageMismatch
+
+    base_fp, log_dir = _feed(tmp_path)
+    table = LakeTable(str(tmp_path / "tgt"), num_buckets=2)
+    eng = ChangefeedEngine(log_dir, table, validate_rows=True)
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark)
+
+    m = table.current_manifest()
+    buckets = sorted({e["bucket"] for e in m["files"]})
+    good = table.read(spark)
+    # expected images that DISAGREE with what was committed
+    from pyspark.sql import functions as F
+
+    wrong_upsert = good.withColumn("op", F.lit("U")).withColumn(
+        "text", F.lit("NEVER-WRITTEN")
+    )
+    with pytest.raises(RowImageMismatch):
+        eng.validate_applied_rows(spark, wrong_upsert, buckets)
+    phantom_delete = good.withColumn("op", F.lit("D"))  # keys still present
+    with pytest.raises(RowImageMismatch):
+        eng.validate_applied_rows(spark, phantom_delete, buckets)
+    # and the true post-images pass
+    checked = eng.validate_applied_rows(
+        spark, good.withColumn("op", F.lit("U")), buckets
+    )
+    assert checked == good.count()

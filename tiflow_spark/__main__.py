@@ -194,6 +194,7 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
             ("start-ts", cfg.start_ts or None),
             ("base", cfg.base),
             ("validate-state", cfg.validate_state),
+            ("validate-rows", cfg.validate_rows),
         ) if v
     ]
     if unsupported:

@@ -55,6 +55,7 @@ class ChangefeedConfig:
     num_buckets: int = 32
     validate_resolved: bool = True
     validate_state: bool = False  # per-epoch downstream checksum validation
+    validate_rows: bool = False  # per-epoch row-image compare (DM validator)
     bootstrap_chunk_files: int | None = None  # resumable dump restore (S5)
     ignore_txn_start_ts: list[int] = field(default_factory=list)
     event_filter: str | None = None
@@ -84,8 +85,9 @@ def load_config(path: str) -> ChangefeedConfig:
     top_keys = {
         "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
         "syncpoint-every", "num-buckets", "validate-resolved",
-        "validate-state", "bootstrap-chunk-files", "gc-keep-last", "filter",
-        "routes", "stream-checkpoint", "max-files-per-trigger", "sink",
+        "validate-state", "validate-rows", "bootstrap-chunk-files",
+        "gc-keep-last", "filter", "routes", "stream-checkpoint",
+        "max-files-per-trigger", "sink",
     }
     unknown = set(raw) - top_keys
     if unknown:
@@ -127,6 +129,7 @@ def load_config(path: str) -> ChangefeedConfig:
         num_buckets=int(raw.get("num-buckets", 32)),
         validate_resolved=bool(raw.get("validate-resolved", True)),
         validate_state=bool(raw.get("validate-state", False)),
+        validate_rows=bool(raw.get("validate-rows", False)),
         bootstrap_chunk_files=raw.get("bootstrap-chunk-files") or None,
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
@@ -167,6 +170,7 @@ def build_engine(cfg: ChangefeedConfig):
             ignore_txn_start_ts=cfg.ignore_txn_start_ts,
             event_filter=cfg.event_filter,
             validate_after_apply=cfg.validate_state,
+            validate_rows=cfg.validate_rows,
         )
     tables = {
         r.target: LakeTable(
@@ -182,4 +186,5 @@ def build_engine(cfg: ChangefeedConfig):
         rules=[(r.source, r.target) for r in cfg.routes],
         ignore_txn_start_ts=cfg.ignore_txn_start_ts,
         event_filter=cfg.event_filter,
+        validate_rows=cfg.validate_rows,
     )

@@ -52,6 +52,13 @@ from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
 
 
+class RowImageMismatch(Exception):
+    """Applied downstream rows diverge from the fold's expected post-images
+    — the apply/write/read path corrupted data in flight (the row-compare
+    half of DM's continuous validator, dm/syncer/data_validator.go:62-196
+    rowsEventProcessRoutine; the checksum half is lake.ChecksumDrift)."""
+
+
 class ResolvedTsRegression(Exception):
     """A DML event carries commit_ts <= an earlier resolved-ts promise.
 
@@ -326,11 +333,18 @@ class ChangefeedEngine:
         ignore_txn_start_ts: list[int] | None = None,
         event_filter: str | None = None,
         validate_after_apply: bool = False,
+        validate_rows: bool = False,
     ):
         self.log_path = log_path
         self.table = table
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
+        # row-compare half of the continuous validator: after each commit,
+        # re-read the touched buckets and compare every applied key's row
+        # against the fold's expected post-image (upsert present+equal,
+        # delete absent) — RowImageMismatch on divergence. Costs one
+        # bucket-pruned read + key join per epoch when on.
+        self.validate_rows = validate_rows
         if validate_after_apply:
             # continuous downstream validation (DM data_validator,
             # dm/syncer/data_validator.go:62-196): every commit records
@@ -653,6 +667,12 @@ class ChangefeedEngine:
             ),
             syncpoint=syncpoint,
         )
+        if committed and self.validate_rows and lineage_rows:
+            self.validate_applied_rows(
+                spark,
+                changes.drop("_n_events", "_max_commit_ts"),
+                [r["bucket"] for r in lineage_rows],
+            )
         return EpochStats(
             epoch=epoch,
             barrier_ts=barrier_ts,
@@ -660,6 +680,50 @@ class ChangefeedEngine:
             ddl_events=applied_ddls,
             committed=committed,
         )
+
+    def validate_applied_rows(
+        self, spark: SparkSession, expected: DataFrame, buckets: list[int]
+    ) -> int:
+        """Row-compare validation of one applied epoch (DM's
+        rowsEventProcessRoutine, dm/syncer/data_validator.go:62-196): for
+        every key the epoch touched, the committed table must hold exactly
+        the fold's post-image — upserted keys present with equal payloads,
+        deleted keys absent. Like the reference, only CHANGED rows are
+        compared (full-table checks are the checksum validator's job).
+
+        Distributed shape: the table read is pruned to the touched buckets
+        via the manifest file list; expected and actual rows canonicalize to
+        one JSON string each and compare on a single key join; the driver
+        sees one bounded mismatch sample. Returns rows checked."""
+        m = self.table.current_manifest()
+        files = [e for e in m["files"] if e["bucket"] in set(buckets)]
+        actual = self.table.read(spark, {**m, "files": files})
+        payload_names = [
+            f.name for f in SchemaRegistry.from_json(m["registry"]).current.fields
+        ]
+
+        def canon(df: DataFrame):
+            return F.to_json(
+                F.struct(*[df[c] for c in payload_names]),
+                {"ignoreNullFields": "false"},
+            )
+
+        exp = expected.select(*KEY_COLS, "op", canon(expected).alias("_want"))
+        act = actual.select(*KEY_COLS, canon(actual).alias("_got"))
+        joined = exp.join(act, on=list(KEY_COLS), how="left")
+        bad = joined.filter(
+            F.when(F.col("op") == "D", F.col("_got").isNotNull()).otherwise(
+                F.col("_got").isNull() | (F.col("_got") != F.col("_want"))
+            )
+        )
+        sample = bad.limit(5).collect()
+        if sample:
+            raise RowImageMismatch(
+                f"{self.table.path}: applied key(s) diverge from their "
+                f"expected post-images after commit (first: "
+                f"{[tuple(r[k] for k in KEY_COLS) + (r['op'],) for r in sample]})"
+            )
+        return exp.count()
 
     def committed_promises(self) -> list[tuple[int, int]]:
         """The committed resolved-ts promise(s): ``(checkpoint_seq,
@@ -727,6 +791,7 @@ class MultiTableEngine:
         default_table: str | None = None,
         ignore_txn_start_ts: list[int] | None = None,
         event_filter: str | None = None,
+        validate_rows: bool = False,
     ):
         from tiflow_spark.model import DEFAULT_TABLE
 
@@ -736,6 +801,7 @@ class MultiTableEngine:
         self.default_table = default_table or DEFAULT_TABLE
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
+        self.validate_rows = validate_rows
         unknown = {tgt for _, tgt in self.rules} - set(self.tables)
         if unknown:
             raise ValueError(f"route rules target unknown tables: {sorted(unknown)}")
@@ -877,6 +943,7 @@ class MultiTableEngine:
                     self.log_path, table,
                     ignore_txn_start_ts=self.ignore_txn_start_ts,
                     event_filter=self.event_filter,
+                    validate_rows=self.validate_rows,
                 )
                 st = sub.apply_slice(
                     spark, sliced, m, barrier, ddl_rows=ddl_rows,
@@ -950,6 +1017,7 @@ class MultiTableEngine:
                 self.log_path, table,
                 ignore_txn_start_ts=self.ignore_txn_start_ts,
                 event_filter=self.event_filter,
+                validate_rows=self.validate_rows,
             )
             out.append(
                 sub.apply_slice(
