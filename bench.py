@@ -41,6 +41,9 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_pii_redact",
+    "text_repetition",
+    "text_decontaminate",
     "mm_binary_meta",
     "mm_decode_meta",
     "mm_resize",

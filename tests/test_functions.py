@@ -405,3 +405,45 @@ def test_video_split_and_frame_sample(spark):
     assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (
         (7 + 2) % 256, (7 * 3 + 2) % 256, (7 * 5 + 2) % 256
     )
+
+
+def test_pii_redact_counts_and_masks(spark):
+    docs = spark.createDataFrame([(42, "plain words only")], "doc_id long, text string")
+    r = text.pii_redact(docs).collect()[0]
+    # the synthetic augmentation plants exactly one of each PII kind
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
+    red = r["redacted"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "@example.com" not in red
+    assert "+1-555-" not in red
+    assert "10.42." not in red
+    assert red.startswith("plain words only Contact ")
+    assert red.endswith(" ok")
+
+
+def test_repetition_scores_planted(spark):
+    # "x y x y x y" : top 2-gram "x y" count=3, len=3, nc=11 -> floor(9000/11)=818
+    docs = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+    r = text.repetition_scores(docs).collect()[0]
+    assert r["top2_permille"] == 818
+    # top 3-gram "x y x" count=2 (overlapping), len=5 -> floor(10000/11)=909
+    assert r["top3_permille"] == 909
+    # 5-grams: "x y x y x" x1, "y x y x y" x1 -> no dup
+    assert r["dup5_permille"] == 0
+    # fully repeated text -> duplicated 5-grams dominate
+    docs2 = spark.createDataFrame([(2, "a a a a a a a a")], "doc_id long, text string")
+    r2 = text.repetition_scores(docs2).collect()[0]
+    assert r2["dup5_permille"] == 1000
+
+
+def test_decontamination_flags_shared_shingles(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    contaminated = "intro words then alpha beta gamma delta epsilon closing"
+    clean = "totally unrelated tokens with no overlap at all here"
+    rows = [(0, bench_text), (1, contaminated), (2, clean), (7, "more bench stuff here now ok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.decontamination(docs, bench_mod=7, n=5).collect()}
+    # bench docs (0, 7) are excluded from the output
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1  # one shared 5-gram
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0

@@ -145,6 +145,136 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns — a conservative subset that parses identically under Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded quantifiers, \b.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_synthetic_pii(docs: DataFrame) -> Column:
+    """Deterministically augment each document with one email, one phone,
+    and one IPv4 derived from doc_id arithmetic — the corpus itself is
+    PII-free word salad, so the fixture is synthesized in-query (same
+    precedent as the synthesized media containers in mm_decode_meta) and
+    the oracle reproduces it with the same arithmetic."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact doc"), d.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit("."), ((d * 3) % 256).cast("string"),
+        F.lit("."), ((d % 254) + 1).cast("string"),
+        F.lit(" ok"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrubbing — the redaction stage of a pre-training corpus
+    pipeline: count and mask emails, E.164-style phone numbers, and IPv4
+    addresses. Pure regexp column expressions (JVM-side, codegen'd, no
+    shuffle); replacement order is email → phone → IP so the email pass
+    can't eat the dotted-quad and vice versa."""
+    aug = with_synthetic_pii(docs)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE), 0)).cast("int").alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4), 0)).cast("int").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode(shingles_expr("text", n)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher / MassiveText rules,
+    Rae et al. 2021 §A1.1): fraction of characters inside the single most
+    frequent 2-gram and 3-gram, and the fraction of 5-gram occurrences
+    (char-weighted) that belong to duplicated 5-grams. All permille-floored
+    integers → bit-deterministic at any parallelism.
+
+    Plan shape: three per-doc aggregations (map-side combined, keys are
+    doc-local so never skewed), window top-1 per doc for the max-gram
+    signals, one join back to the per-doc char count. No Python anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    nchars = docs.select("doc_id", F.length("text").alias("nc"))
+
+    def top_gram(n: int, out: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+        return (
+            _gram_counts(docs, n)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .join(nchars, "doc_id")
+            .select(
+                "doc_id",
+                F.floor(F.lit(1000.0) * F.col("c") * F.length("g") / F.col("nc"))
+                .cast("long").alias(out),
+            )
+        )
+
+    dup5 = (
+        _gram_counts(docs, 5)
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.lit(1000.0)
+                * F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0)))
+                / F.sum(F.col("c") * F.length("g"))
+            ).cast("long").alias("dup5_permille")
+        )
+    )
+    return (
+        top_gram(2, "top2_permille")
+        .join(top_gram(3, "top3_permille"), "doc_id")
+        .join(dup5, "doc_id")
+    )
+
+
+def decontamination(docs: DataFrame, bench_mod: int = 7, n: int = 5) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap rule of GPT-3 appendix
+    C / PaLM / Llama eval hygiene): flag every training document sharing at
+    least one n-token shingle with the benchmark set. The benchmark here is
+    the deterministic slice ``doc_id % bench_mod == 0``; real pipelines
+    substitute the eval-suite corpus.
+
+    Scale shape: the benchmark side is eval-suite-sized (tiny vs the
+    corpus), so its distinct shingle set broadcasts; the train side is
+    explode → broadcast-hash-join → per-doc count — the 100 TB scan never
+    shuffles except the doc-keyed count aggregation."""
+    sh = docs.select("doc_id", F.explode(shingles_expr("text", n)).alias("g"))
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % bench_mod != 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("h"))
+    )
+    train = docs.filter(F.col("doc_id") % bench_mod != 0).select("doc_id")
+    n_hits = F.coalesce(F.col("h"), F.lit(0)).cast("long")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", n_hits.alias("n_hits"), (n_hits > 0).alias("contaminated")
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting:
 

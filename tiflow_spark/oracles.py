@@ -700,6 +700,72 @@ SELECT doc_id,
     AS keep
 FROM documents
 """,
+    "text_pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' Contact doc' || doc_id || '@example.com or +1-555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+      || '.' || ((doc_id % 254) + 1) || ' ok' AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS INTEGER) AS n_phones,
+  CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       AS INTEGER) AS n_ips,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+\\d{1,3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+FROM aug
+""",
+    "text_repetition": """
+WITH toks AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS tk
+              FROM documents),
+g2 AS (SELECT doc_id, nc, array_to_string(tk[i:i+1], ' ') AS g
+       FROM (SELECT doc_id, nc, tk,
+                    unnest(range(1, greatest(len(tk) - 1, 1) + 1)) AS i FROM toks)),
+c2 AS (SELECT doc_id, nc, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+t2 AS (SELECT doc_id, CAST(floor(1000.0 * c * length(g) / nc) AS BIGINT)
+              AS top2_permille
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk FROM c2)
+       WHERE rk = 1),
+g3 AS (SELECT doc_id, nc, array_to_string(tk[i:i+2], ' ') AS g
+       FROM (SELECT doc_id, nc, tk,
+                    unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i FROM toks)),
+c3 AS (SELECT doc_id, nc, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+t3 AS (SELECT doc_id, CAST(floor(1000.0 * c * length(g) / nc) AS BIGINT)
+              AS top3_permille
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk FROM c3)
+       WHERE rk = 1),
+g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+       FROM (SELECT doc_id, tk,
+                    unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i FROM toks)),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id,
+         CAST(floor(1000.0 * sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                    / sum(c * length(g))) AS BIGINT) AS dup5_permille
+       FROM c5 GROUP BY 1)
+SELECT doc_id, top2_permille, top3_permille, dup5_permille
+FROM t2 JOIN t3 USING (doc_id) JOIN d5 USING (doc_id)
+""",
+    "text_decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+       FROM (SELECT doc_id, tk,
+                    unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i FROM toks)),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0),
+hits AS (SELECT doc_id, count(DISTINCT g) AS h
+         FROM sh JOIN bench USING (g) WHERE doc_id % 7 <> 0 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+       coalesce(h.h, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+""",
     "mm_binary_meta": """
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -865,6 +865,26 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_scores(_documents(spark, sf_dir))
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically PII-augmented corpus: the
+    synthetic email/phone/IPv4 per doc is pure doc_id arithmetic, so the
+    oracle rebuilds the same fixture and the match pins both the counters
+    and the full redacted text byte-for-byte."""
+    return text.pii_redact(_documents(spark, sf_dir))
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: top-2-gram, top-3-gram, and
+    duplicated-5-gram character fractions per document."""
+    return text.repetition_scores(_documents(spark, sf_dir))
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing any 5-token
+    shingle with the benchmark slice (doc_id % 7 == 0)."""
+    return text.decontamination(_documents(spark, sf_dir), bench_mod=7, n=5)
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -945,6 +965,9 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_quality": text_quality,
+    "text_pii_redact": text_pii_redact,
+    "text_repetition": text_repetition,
+    "text_decontaminate": text_decontaminate,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_meta": mm_decode_meta,
     "mm_resize": mm_resize,
