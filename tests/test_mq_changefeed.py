@@ -93,7 +93,7 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
-@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json"])
+@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json", "avro"])
 def test_topic_relay_replays_to_same_table(feed, tmp_path, spark, protocol):
     """The full relay chain per envelope codec: log → MQ topic →
     consumer-reconstructed log → engine replay must land the exact table
@@ -291,3 +291,37 @@ def test_mq_publish_validation_floor_and_restart_detection(tmp_path, spark, monk
     )
     with pytest.raises(ResolvedTsRegression):
         MQChangefeed(log_dir, sink).run(spark)
+
+
+def test_avro_wire_roundtrip_bytes(feed, spark):
+    """Every field of every DML event survives JVM-expression encode →
+    Python varint decode byte-exactly, including the null branches of the
+    optional fields; and the wire header is real Confluent framing."""
+    from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+    from tiflow_spark.sinks.mq import (
+        AVRO_ROW_SCHEMA_ID, _avro_parse_row, avro_envelope,
+    )
+
+    log = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed.log_path)
+    dml = log.filter(F.col("op").isin("I", "U", "D"))
+    rows = dml.withColumn("wire", avro_envelope()).collect()
+    assert rows
+    saw_null_start, saw_pre = False, False
+    for r in rows:
+        wire = r["wire"]
+        assert wire.startswith("00" + f"{AVRO_ROW_SCHEMA_ID:08x}")
+        (seq, op, commit_ts, start_ts, schema_version, conv_id, turn_idx,
+         payload, pre_payload, ddl, hint, tbl) = _avro_parse_row(wire)
+        assert (seq, op, commit_ts) == (r["seq"], r["op"], r["commit_ts"])
+        assert start_ts == r["start_ts"]
+        assert schema_version == r["schema_version"]
+        assert (conv_id, turn_idx) == (r["conv_id"], r["turn_idx"])
+        assert payload == r["payload"]
+        assert pre_payload == r["pre_payload"]
+        assert tbl == r["tbl"]
+        saw_null_start = saw_null_start or start_ts is None
+        saw_pre = saw_pre or pre_payload is not None
+    assert saw_pre  # updates carry a pre-image on this feed
+
+    with pytest.raises(ValueError, match="bad magic"):
+        _avro_parse_row("01" + "00000001" + "00")

@@ -240,10 +240,74 @@ def canal_json_envelope(database: str = "app", table: str = "transcripts"):
     )
 
 
+AVRO_ROW_SCHEMA_JSON = (
+    '{"type":"record","name":"RowChange","fields":['
+    '{"name":"seq","type":"long"},'
+    '{"name":"op","type":"string"},'
+    '{"name":"commit_ts","type":"long"},'
+    '{"name":"start_ts","type":["null","long"]},'
+    '{"name":"schema_version","type":["null","long"]},'
+    '{"name":"conv_id","type":"string"},'
+    '{"name":"turn_idx","type":"long"},'
+    '{"name":"payload","type":["null","string"]},'
+    '{"name":"pre_payload","type":["null","string"]},'
+    '{"name":"tbl","type":["null","string"]}]}'
+)
+AVRO_ROW_SCHEMA_ID = 1
+
+
+def avro_envelope(schema_id: int = AVRO_ROW_SCHEMA_ID) -> "F.Column":
+    """Avro + Confluent-schema-registry wire envelope over the full change
+    event (cdc/sink/codec/avro.go:75,119,184): magic byte 0x00, 4-byte
+    big-endian schema id, then the record's true Avro binary body — zigzag
+    varint longs, varint-length-prefixed UTF-8 strings, nullable fields as
+    ["null", T] unions with a varint branch index — all built from JVM-side
+    integer/hex expressions (no UDF, no avro lib). Emitted as a lowercase
+    hex string because the file topic is JSON-lines; a Kafka sink would
+    publish ``unhex(value)``."""
+    from tiflow_spark.queries import _varint_hex, _zigzag_hex
+
+    def _lng(c):
+        return _zigzag_hex(c.cast("long"))
+
+    def _str(c):
+        # Avro string: byte length as a (zigzag) long, then UTF-8 bytes
+        return F.concat(
+            _varint_hex(F.octet_length(c).cast("long") * 2), F.lower(F.hex(c))
+        )
+
+    def _opt(name, enc):
+        # union ["null", T]: branch index as a zigzag long — 0x00 for null,
+        # 0x02 (zigzag(1)) then the value for the T branch
+        c = F.col(name)
+        return F.when(c.isNull(), F.lit("00")).otherwise(
+            F.concat(F.lit("02"), enc(c))
+        )
+
+    body = F.concat(
+        _lng(F.col("seq")),
+        _str(F.col("op")),
+        _lng(F.col("commit_ts")),
+        _opt("start_ts", _lng),
+        _opt("schema_version", _lng),
+        _str(F.col("conv_id")),
+        _lng(F.col("turn_idx")),
+        _opt("payload", _str),
+        _opt("pre_payload", _str),
+        _opt("tbl", _str),
+    )
+    return F.concat(
+        F.lit("00"),
+        F.lower(F.lpad(F.hex(F.lit(schema_id)), 8, "0")),
+        body,
+    )
+
+
 MQ_PROTOCOLS = {
     "open-json": open_json_envelope,
     "maxwell": maxwell_envelope,
     "canal-json": canal_json_envelope,
+    "avro": avro_envelope,
 }
 
 
@@ -478,16 +542,103 @@ def _decode_canal_json(row_msgs: DataFrame) -> DataFrame:
     )
 
 
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Zigzag base-128 varint long (the Avro binary long encoding)."""
+    acc = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_read_str(buf: bytes, pos: int) -> tuple[str, int]:
+    n, pos = _avro_read_long(buf, pos)
+    return buf[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _avro_read_opt(buf: bytes, pos: int, reader) -> tuple[object, int]:
+    branch, pos = _avro_read_long(buf, pos)
+    if branch == 0:
+        return None, pos
+    return reader(buf, pos)
+
+
+def _avro_parse_row(hexstr: str) -> tuple:
+    """Inverse of avro_envelope: Confluent wire hex → change-event tuple
+    (fields in RELAY column order; ddl/partition_hint are not on the
+    row wire)."""
+    buf = bytes.fromhex(hexstr)
+    if buf[0] != 0:
+        raise ValueError("not Confluent avro wire: bad magic byte")
+    schema_id = int.from_bytes(buf[1:5], "big")
+    if schema_id != AVRO_ROW_SCHEMA_ID:
+        raise ValueError(f"unknown avro schema id {schema_id}")
+    pos = 5
+    seq, pos = _avro_read_long(buf, pos)
+    op, pos = _avro_read_str(buf, pos)
+    commit_ts, pos = _avro_read_long(buf, pos)
+    start_ts, pos = _avro_read_opt(buf, pos, _avro_read_long)
+    schema_version, pos = _avro_read_opt(buf, pos, _avro_read_long)
+    conv_id, pos = _avro_read_str(buf, pos)
+    turn_idx, pos = _avro_read_long(buf, pos)
+    payload, pos = _avro_read_opt(buf, pos, _avro_read_str)
+    pre_payload, pos = _avro_read_opt(buf, pos, _avro_read_str)
+    tbl, pos = _avro_read_opt(buf, pos, _avro_read_str)
+    if pos != len(buf):
+        raise ValueError(f"avro trailing bytes: {len(buf) - pos}")
+    return (seq, op, commit_ts, start_ts, schema_version, conv_id,
+            turn_idx, payload, pre_payload, None, None, tbl)
+
+
+_RELAY_COLS = [
+    "seq", "op", "commit_ts", "start_ts", "schema_version", "conv_id",
+    "turn_idx", "payload", "pre_payload", "ddl", "partition_hint", "tbl",
+]
+
+
+def _decode_avro(row_msgs: DataFrame) -> DataFrame:
+    """Inverse of avro_envelope. Binary varint decode is not expressible as
+    column expressions (variable-length fields), so this is the one relay
+    decoder that runs Python — Arrow-batched ``mapInPandas``, exactly what a
+    real consumer does with an avro lib; the full envelope (true seq /
+    start_ts / schema_version) comes back off the wire."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                [_avro_parse_row(v) for v in pdf["value"]], columns=_RELAY_COLS
+            )
+            for c in ("seq", "commit_ts", "start_ts", "schema_version",
+                      "turn_idx", "partition_hint"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return row_msgs.select("value").mapInPandas(
+        gen,
+        "seq long, op string, commit_ts long, start_ts long, "
+        "schema_version int, conv_id string, turn_idx int, payload string, "
+        "pre_payload string, ddl string, partition_hint int, tbl string",
+    )
+
+
 RELAY_DECODERS = {
     "open-json": _decode_open_json,
     "maxwell": _decode_maxwell,
     "canal-json": _decode_canal_json,
+    "avro": _decode_avro,
 }
 
 
 def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
     """Consumer-side relay: reconstruct a replayable changefeed log from a
-    topic published with ANY of the three JSON envelope codecs — the
+    topic published with ANY of the four envelope codecs (three JSON, one
+    binary Avro-Confluent wire) — the
     downstream half of the reference's MQ pairing (TiCDC → Kafka →
     canal/flink consumer → table; the consumer ecosystem decodes canal wire,
     cdc/sink/codec/canal.go). Row messages become DML events, the deduped
