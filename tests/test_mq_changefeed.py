@@ -93,7 +93,7 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
-@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json", "avro"])
+@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json", "avro", "canal-pb"])
 def test_topic_relay_replays_to_same_table(feed, tmp_path, spark, protocol):
     """The full relay chain per envelope codec: log → MQ topic →
     consumer-reconstructed log → engine replay must land the exact table
@@ -325,3 +325,29 @@ def test_avro_wire_roundtrip_bytes(feed, spark):
 
     with pytest.raises(ValueError, match="bad magic"):
         _avro_parse_row("01" + "00000001" + "00")
+
+
+def test_canal_pb_wire_roundtrip_bytes(feed, spark):
+    """Canal protobuf wire: JVM staged encode → Python TLV decode recovers
+    header fields, before/after column images, and null-column omission;
+    a real protobuf reader sees valid tag/varint/length-delimited framing."""
+    from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+    from tiflow_spark.sinks.mq import _canal_pb_parse_row, canal_pb_envelope
+
+    log = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed.log_path)
+    dml = log.filter(F.col("op").isin("I", "U", "D")).limit(200)
+    rows = canal_pb_envelope()(dml).collect()
+    assert rows
+    saw_pre, saw_delete = False, False
+    for r in rows:
+        (seq, op, commit_ts, start_ts, schema_version, conv_id, turn_idx,
+         payload, pre_payload, ddl, hint, tbl) = _canal_pb_parse_row(r["envelope"])
+        assert seq is None and start_ts is None  # not on the canal wire
+        assert (op, commit_ts) == (r["op"], r["commit_ts"])
+        assert (conv_id, turn_idx) == (r["conv_id"], r["turn_idx"])
+        assert payload == r["payload"]
+        assert pre_payload == r["pre_payload"]
+        assert tbl == (r["tbl"] or "transcripts")
+        saw_pre = saw_pre or pre_payload is not None
+        saw_delete = saw_delete or (op == "D" and payload is None)
+    assert saw_pre and saw_delete

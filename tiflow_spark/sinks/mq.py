@@ -34,7 +34,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -303,11 +303,82 @@ def avro_envelope(schema_id: int = AVRO_ROW_SCHEMA_ID) -> "F.Column":
     )
 
 
+def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
+    """Canal protobuf wire envelope over the change event (cdc/sink/codec/
+    canal.go:75-240 buildHeader/buildRowChange over EntryProtocol.proto):
+    varint packet length, then Entry{Header{schemaName, tableName,
+    executeTime, eventType-enum}, isDdl, RowData{beforeColumns,
+    afterColumns}} with repeated Column{index, name, value} messages — the
+    exact tag/varint/length-delimited bytes protoc would emit for this
+    shape, built from JVM column expressions (no protobuf lib). Like the
+    real canal wire it carries NO seq/start_ts/schema_version — the relay
+    decoder synthesizes per-key order from partition offsets (maxwell
+    rule). Hex string on the file topic; a Kafka sink publishes
+    ``unhex(value)``.
+
+    Returns a DataFrame TRANSFORMER (df → df + 'envelope'), not a Column:
+    each length-prefix helper re-references its message body ~12×, so a
+    single nested expression grows ~12^depth and stalls analysis/codegen at
+    this wire's 3-level nesting. Staging each level as a named column keeps
+    every tree one level deep (Catalyst does not re-inline multi-referenced
+    non-cheap projections)."""
+    from tiflow_spark.queries import _pb_msg_field, _pb_str_field, _varint_hex
+
+    def _col_msg(idx: int, name: str, value, parent_tag: int):
+        # Column message under RowData field `parent_tag`; a NULL value
+        # omits the whole Column (proto3 absent-field semantics)
+        inner = F.concat(
+            F.lit("08"), _varint_hex(F.lit(idx).cast("long")),
+            _pb_str_field(0x12, F.lit(name)),
+            _pb_str_field(0x1A, value),
+        )
+        return F.when(value.isNull(), F.lit("")).otherwise(
+            _pb_msg_field(parent_tag, inner)
+        )
+
+    def apply(df: DataFrame) -> DataFrame:
+        op = F.col("op")
+        etype = (
+            F.when(op == "I", 1).when(op == "D", 3).otherwise(2).cast("long")
+        )
+        header = F.concat(
+            _pb_str_field(0x0A, F.lit(database)),                  # f1 schemaName
+            _pb_str_field(0x12, F.coalesce(F.col("tbl"), F.lit(table))),  # f2
+            F.lit("18"), _varint_hex(F.col("commit_ts")),          # f3 executeTime
+            F.lit("20"), _varint_hex(etype),                       # f4 eventType
+        )
+        rowdata = F.concat(
+            _col_msg(0, "payload", F.col("pre_payload"), 0x0A),    # f1 before
+            _col_msg(0, "conv_id", F.col("conv_id"), 0x12),        # f2 after
+            _col_msg(1, "turn_idx", F.col("turn_idx").cast("string"), 0x12),
+            _col_msg(2, "payload", F.col("payload"), 0x12),
+        )
+        staged = df.withColumn("_pb_hdr", header).withColumn("_pb_row", rowdata)
+        staged = staged.withColumn(
+            "_pb_entry",
+            F.concat(
+                _pb_msg_field(0x0A, F.col("_pb_hdr")),   # f1 header
+                F.lit("1000"),                           # f2 isDdl=false
+                _pb_msg_field(0x1A, F.col("_pb_row")),   # f3 rowData
+            ),
+        )
+        return staged.withColumn(
+            "envelope",
+            F.concat(
+                _varint_hex((F.length("_pb_entry") / 2).cast("long")),
+                F.col("_pb_entry"),
+            ),
+        ).drop("_pb_hdr", "_pb_row", "_pb_entry")
+
+    return apply
+
+
 MQ_PROTOCOLS = {
     "open-json": open_json_envelope,
     "maxwell": maxwell_envelope,
     "canal-json": canal_json_envelope,
     "avro": avro_envelope,
+    "canal-pb": canal_pb_envelope,
 }
 
 
@@ -418,7 +489,13 @@ class MQChangefeed:
                 self.envelope if self.envelope is not None
                 else MQ_PROTOCOLS[self.protocol]()
             )
-            events = dml.withColumn("envelope", envelope)
+            # a codec is either a Column (single envelope expression) or a
+            # DataFrame transformer (staged construction for deep wire
+            # formats whose one-expression form blows up the plan)
+            events = (
+                envelope(dml) if callable(envelope) and not isinstance(envelope, Column)
+                else dml.withColumn("envelope", envelope)
+            )
             ddl_rows = [
                 (r["commit_ts"], r["ddl"]) for r in control
                 if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
@@ -627,11 +704,103 @@ def _decode_avro(row_msgs: DataFrame) -> DataFrame:
     )
 
 
+def _pb_read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return acc, pos
+
+
+def _pb_read_fields(buf: bytes) -> list[tuple[int, object]]:
+    """Walk a protobuf message's (single-byte-tag) fields: varint fields
+    yield ints, length-delimited fields yield the raw bytes."""
+    pos = 0
+    out = []
+    while pos < len(buf):
+        tag = buf[pos]
+        pos += 1
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _pb_read_uvarint(buf, pos)
+            out.append((fno, v))
+        elif wt == 2:
+            n, pos = _pb_read_uvarint(buf, pos)
+            out.append((fno, buf[pos : pos + n]))
+            pos += n
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+    return out
+
+
+def _pb_columns(msgs: list[bytes]) -> dict[str, str]:
+    cols = {}
+    for m in msgs:
+        fields = dict(_pb_read_fields(m))
+        cols[fields[2].decode("utf-8")] = fields[3].decode("utf-8")
+    return cols
+
+
+def _canal_pb_parse_row(hexstr: str) -> tuple:
+    """Inverse of canal_pb_envelope: packet varint length, Entry{header,
+    isDdl, RowData{before, after}} → change-event tuple (seq slot None —
+    synthesized from the partition offset, the maxwell rule)."""
+    buf = bytes.fromhex(hexstr)
+    n, pos = _pb_read_uvarint(buf, 0)
+    entry = dict(_pb_read_fields(buf[pos : pos + n]))
+    header = dict(_pb_read_fields(entry[1]))
+    commit_ts = header[3]
+    op = {1: "I", 2: "U", 3: "D"}[header[4]]
+    tbl = header[2].decode("utf-8")
+    before, after = [], []
+    for fno, msg in _pb_read_fields(entry.get(3, b"")):
+        (before if fno == 1 else after).append(msg)
+    a = _pb_columns(after)
+    b = _pb_columns(before)
+    return (None, op, commit_ts, None, None, a.get("conv_id"),
+            int(a["turn_idx"]), a.get("payload"), b.get("payload"),
+            None, None, tbl)
+
+
+def _decode_canal_pb(row_msgs: DataFrame) -> DataFrame:
+    """Consumer-side canal wire decode (the reference's consumer ecosystem
+    parses EntryProtocol.proto, cdc/sink/codec/canal.go) — Arrow-batched
+    ``mapInPandas`` protobuf TLV walk. seq comes from the partition offset
+    (index-value dispatch keeps per-key order, exactly the maxwell rule);
+    start_ts/schema_version are not on the canal wire."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                [_canal_pb_parse_row(v) for v in pdf["value"]],
+                columns=_RELAY_COLS,
+            )
+            out["seq"] = pdf["offset"].values
+            for c in ("seq", "commit_ts", "start_ts", "schema_version",
+                      "turn_idx", "partition_hint"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return row_msgs.select("offset", "value").mapInPandas(
+        gen,
+        "seq long, op string, commit_ts long, start_ts long, "
+        "schema_version int, conv_id string, turn_idx int, payload string, "
+        "pre_payload string, ddl string, partition_hint int, tbl string",
+    )
+
+
 RELAY_DECODERS = {
     "open-json": _decode_open_json,
     "maxwell": _decode_maxwell,
     "canal-json": _decode_canal_json,
     "avro": _decode_avro,
+    "canal-pb": _decode_canal_pb,
 }
 
 
