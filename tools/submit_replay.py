@@ -74,6 +74,11 @@ def _submit_once(cores: int, events: int, trials: int = 1) -> dict | None:
     cmd = [
         _spark_submit_bin(),
         "--master", f"local[{cores}]",
+        # parity with tiflow_spark.session defaults: spark-submit's 1g
+        # driver default cannot hold the worker's full-table oracle
+        # collect at >=20M-event feeds (a cluster submit sets this too)
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "10g"),
+        "--conf", "spark.driver.maxResultSize=4g",
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.adaptive.enabled=true",
