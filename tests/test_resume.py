@@ -148,6 +148,15 @@ def test_resumable_bootstrap_crash_resume(spark, tmp_path, feed, monkeypatch):
     os.makedirs(orphan, exist_ok=True)  # half-written fragment stand-in
 
     monkeypatch.setattr(LakeTable, "_write_data", real)
+
+    # a resume with a DIFFERENT chunking must be refused: the done-chunk
+    # checkpoints are positional, so reusing them under another plan would
+    # silently skip the wrong input files
+    with pytest.raises(ValueError, match="chunk plan changed"):
+        ChangefeedEngine(
+            feed.log_path, LakeTable(str(tmp_path / "tgt"), num_buckets=4)
+        ).bootstrap(spark, dump_dir, chunk_files=2)
+
     calls_resume = {"n": 0}
 
     def counting(self, df, version, pre_partitioned=False, commit_id=None):

@@ -389,10 +389,26 @@ class LakeTable:
         if not chunks:
             raise ValueError("create_resumable: chunks must be non-empty")
         state_fp = os.path.join(self.path, "_BOOTSTRAP")
-        state = {"done": {}, "inflight": None, "key_types": None}
+        # chunk checkpoints are positional — a resume with a different
+        # chunking (changed bootstrap-chunk-files, or new dump files) would
+        # silently skip the wrong chunks, so the plan is fingerprinted
+        import hashlib
+
+        plan_fp = hashlib.md5(
+            json.dumps(chunks, sort_keys=True).encode()
+        ).hexdigest()
+        state = {"done": {}, "inflight": None, "key_types": None,
+                 "plan_fp": plan_fp}
         if os.path.exists(state_fp):
             with open(state_fp) as f:
                 state = json.load(f)
+            if state.get("plan_fp") != plan_fp:
+                raise ValueError(
+                    "create_resumable: chunk plan changed since the crashed "
+                    "attempt (different chunk_files or input file list) — "
+                    "completed-chunk checkpoints are positional and cannot "
+                    "be reused; remove the partial table to restart"
+                )
         if state.get("inflight"):
             # crashed mid-chunk: remove the orphan fragment, then redo it
             import shutil
