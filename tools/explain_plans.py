@@ -29,6 +29,12 @@ CHECKS = {
     "cdc_watermark_cut": ["PushedFilters: [IsNotNull(event_id), GreaterThan(event_id"],
     "cdc_schema_asof": ["ReadSchema: struct<event_id:bigint>"],
     "text_langid": ["BroadcastExchange"],
+    # benchmark shingle set broadcasts; the train-side scan never shuffles
+    # before its per-doc count
+    "text_decontaminate": ["BroadcastExchange"],
+    # gram counts partial-aggregate (map-side combine) before the doc-keyed
+    # exchange
+    "text_repetition": ["partial_count"],
     "dedup_minhash_lsh": [],
     "dedup_ngram_jaccard": [],
     # one fold shuffle serves every routed table at once
@@ -63,7 +69,8 @@ def main() -> None:
 
     plans: dict[str, str] = {}
     for name in ("cdc_lww_replay", "cdc_canonical_order", "cdc_watermark_cut",
-                 "cdc_schema_asof", "text_langid", "dedup_minhash_lsh",
+                 "cdc_schema_asof", "text_langid", "text_decontaminate",
+                 "text_repetition", "dedup_minhash_lsh",
                  "dedup_ngram_jaccard", "cdc_multi_table", "cdc_encode_avro"):
         plans[name] = plan_of(q.QUERIES[name](spark, sf_dir))
 
