@@ -188,6 +188,28 @@ partitions = 2
     assert state["barrier_ts"] == feed.max_commit_ts
     assert sum(state["offsets"].values()) > 0
 
+    # stream verb on a FRESH topic drains the feed through the Structured
+    # Streaming front-end; on the already-published topic it's a no-op
+    cfg2 = str(tmp_path / "mq_stream.toml")
+    with open(cfg2, "w") as fh:
+        fh.write(f"""
+log = "{feed.log_path}"
+target = "{tmp_path / 'cli_stream_topic'}"
+
+[sink]
+type = "mq"
+partitions = 2
+""")
+    st = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "stream",
+         "--config", cfg2, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert st.returncode == 0, st.stderr[-2000:]
+    res = json.loads([l for l in st.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["result"]["epochs"] >= 1
+    assert res["result"]["barrier_ts"] == feed.max_commit_ts
+
 
 def test_topic_to_log_refuses_undecodable_topic(feed, tmp_path, spark):
     """A topic published with a CUSTOM envelope records no protocol; the
@@ -351,3 +373,44 @@ def test_canal_pb_wire_roundtrip_bytes(feed, spark):
         saw_pre = saw_pre or pre_payload is not None
         saw_delete = saw_delete or (op == "D" and payload is None)
     assert saw_pre and saw_delete
+
+
+def test_streaming_mq_publish_drains_and_relays(feed, tmp_path, spark):
+    """The Structured-Streaming front-end drives the MQ publish exactly like
+    the lake sink (same StreamingChangefeed, same validation path): draining
+    the log publishes every barrier, a relay of the streamed topic replays
+    to the oracle table, and a second drain is a no-op."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
+    from tiflow_spark.streaming.changefeed_stream import StreamingChangefeed
+    from tests.helpers import assert_tables_equal
+
+    sink = FileMQSink(str(tmp_path / "stream_topic"), n_partitions=4)
+    cf = MQChangefeed(feed.log_path, sink)
+    sc = StreamingChangefeed(cf, str(tmp_path / "stream_ckpt"))
+    epochs = sc.run_available(spark)
+    # messages counts rows + the per-partition ddl/checkpoint broadcasts
+    assert epochs and sum(e["messages"] for e in epochs) >= len(
+        _dml_rows(feed.log_path)
+    )
+    rows = sink.read_topic(spark).filter(F.col("kind") == "row")
+    assert rows.count() == len(_dml_rows(feed.log_path))  # lossless
+    assert sink.topic_state()["barrier_ts"] == feed.max_commit_ts
+
+    # relay the STREAMED topic and replay: byte-match the sequential oracle
+    log2 = topic_to_log(spark, sink, str(tmp_path / "stream_relay_log"))
+    eng = ChangefeedEngine(
+        log2, LakeTable(str(tmp_path / "stream_relay_t"), num_buckets=8)
+    )
+    eng.bootstrap(spark, feed.base_path)
+    eng.run(spark)
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(),
+        sequential_apply(feed.base_path, feed.log_path),
+    )
+
+    # everything published — a fresh drain discovers nothing new
+    sc2 = StreamingChangefeed(cf, str(tmp_path / "stream_ckpt2"))
+    assert sum(e["messages"] for e in sc2.run_available(spark)) == 0

@@ -210,9 +210,39 @@ def _main_mq(a, cfg: ChangefeedConfig, engine) -> int:
         state["state"] = lifecycle.read_state(cfg.target)["state"]
         print(json.dumps(state, indent=2, sort_keys=True))
         return 0
-    if a.verb in ("stream", "gc", "validate"):
+    if a.verb in ("gc", "validate"):
         raise SystemExit(f"{a.verb} is not supported for [sink] type='mq'")
     from tiflow_spark import lifecycle
+
+    if a.verb == "stream":
+        # Structured-Streaming tail → topic publish: the same front-end as
+        # the lake sink (StreamingChangefeed only needs read_log /
+        # committed_promises / advance_to, which MQChangefeed provides)
+        import os
+
+        from tiflow_spark.streaming.changefeed_stream import StreamingChangefeed
+
+        lifecycle.check_runnable(cfg.target)
+        spark = _session(a.master)
+        try:
+            sc = StreamingChangefeed(
+                engine,
+                cfg.stream_checkpoint or os.path.join(cfg.target, "_stream_ckpt"),
+                max_files_per_trigger=cfg.max_files_per_trigger,
+            )
+            if a.trigger:
+                q = sc.start(spark, trigger_seconds=a.trigger)
+                q.awaitTermination()
+            else:
+                sc.run_available(spark)
+            print(json.dumps({"verb": "stream", "result": {
+                "epochs": len(sc.epochs),
+                "messages": sum(e.get("messages", 0) for e in sc.epochs),
+                "barrier_ts": sc.epochs[-1]["barrier_ts"] if sc.epochs else None,
+            }}))
+        finally:
+            spark.stop()
+        return 0
 
     if a.verb == "create":
         lifecycle.activate(cfg.target)

@@ -429,18 +429,38 @@ class MQChangefeed:
 
         return spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(self.log_path)
 
+    def committed_promises(self) -> list[tuple[int, int]]:
+        """The topic's committed resolved-ts promise: ``(checkpoint_seq,
+        barrier_ts)`` from the manifest — the MQ twin of
+        ChangefeedEngine.committed_promises, so the streaming front-end
+        validates both sink kinds identically."""
+        st = self.sink.topic_state()
+        seq = int(st.get("checkpoint_seq", -1))
+        return [(seq, int(st.get("barrier_ts", 0)))] if seq >= 0 else []
+
+    def advance_to(
+        self, spark: SparkSession, barrier_ts: int, barrier_seq: int | None = None
+    ) -> list[dict]:
+        """Publish every outstanding barrier up to ``barrier_ts`` — the
+        per-tick unit the streaming front-end drives (StreamingChangefeed
+        validates the tick's marks first, so validation is skipped here,
+        mirroring ChangefeedEngine.advance_to)."""
+        return self.run(spark, validate_resolved=False, up_to_ts=barrier_ts)
+
     def run(
         self,
         spark: SparkSession,
         max_epochs: int | None = None,
         barrier_stride: int = 0,
         validate_resolved: bool = True,
+        up_to_ts: int | None = None,
     ) -> list[dict]:
-        """Publish all outstanding barriers; returns one stats dict per
-        published epoch. Same stride semantics as ChangefeedEngine.run;
-        ``validate_resolved`` enforces the resolved-ts contract over the
-        unpublished tail exactly like the lake path (a feed that promises
-        completeness and then violates it is refused, not published)."""
+        """Publish all outstanding barriers (at most up to ``up_to_ts`` when
+        given); returns one stats dict per published epoch. Same stride
+        semantics as ChangefeedEngine.run; ``validate_resolved`` enforces
+        the resolved-ts contract over the unpublished tail exactly like the
+        lake path (a feed that promises completeness and then violates it
+        is refused, not published)."""
         from tiflow_spark.engine import (
             pick_barrier,
             read_control,
@@ -475,7 +495,8 @@ class MQChangefeed:
         while True:
             barriers = sorted(
                 {r["commit_ts"] for r in control
-                 if r["op"] == OP_RESOLVED and r["commit_ts"] > chk}
+                 if r["op"] == OP_RESOLVED and r["commit_ts"] > chk
+                 and (up_to_ts is None or r["commit_ts"] <= up_to_ts)}
             )
             if not barriers:
                 break
