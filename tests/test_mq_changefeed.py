@@ -414,3 +414,32 @@ def test_streaming_mq_publish_drains_and_relays(feed, tmp_path, spark):
     # everything published — a fresh drain discovers nothing new
     sc2 = StreamingChangefeed(cf, str(tmp_path / "stream_ckpt2"))
     assert sum(e["messages"] for e in sc2.run_available(spark)) == 0
+
+
+def test_binary_wire_roundtrip_edge_strings(spark):
+    """Unicode, empty strings, embedded quotes/newlines, and multi-byte
+    UTF-8 survive both binary wires byte-exactly — string lengths are OCTET
+    lengths on the wire (a char-length encode would corrupt multi-byte
+    payloads)."""
+    from tiflow_spark.sinks.mq import (
+        _avro_parse_row, _canal_pb_parse_row, avro_envelope, canal_pb_envelope,
+    )
+
+    payloads = ['{"text": "héllo wörld 你好 🚀"}', "", '{"q": "\\"quoted\\""}',
+                '{"nl": "a\\nb"}', "日本語テキスト"]
+    rows = [
+        (i, "U", 100 + i, 90, 1, f"conv-é{i}", i, p, None, None, None, None)
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq long, op string, commit_ts long, start_ts long, "
+        "schema_version int, conv_id string, turn_idx int, payload string, "
+        "pre_payload string, ddl string, partition_hint int, tbl string",
+    )
+    for r in df.withColumn("w", avro_envelope()).collect():
+        parsed = _avro_parse_row(r["w"])
+        assert parsed[5] == r["conv_id"] and parsed[7] == r["payload"]
+    for r in canal_pb_envelope()(df).collect():
+        parsed = _canal_pb_parse_row(r["envelope"])
+        assert parsed[5] == r["conv_id"] and parsed[7] == r["payload"]

@@ -53,7 +53,7 @@ def _pb_str_sql(tag_byte: int, expr: str) -> str:
     """Protobuf length-delimited string field as hex (mirrors
     queries._pb_str_field)."""
     return (
-        f"'{tag_byte:02x}' || {_avro_varint_sql(f'length({expr})')}"
+        f"'{tag_byte:02x}' || {_avro_varint_sql(f'strlen({expr})')}"
         f" || lower(hex({expr}))"
     )
 
@@ -135,7 +135,7 @@ def _craft_sql() -> str:
         uv(f"length({v0}) // 2"), uv(f"length({v1}) // 2"), v0, v1,
     ])
     dic = " || ".join([
-        uv("4"), uv("3"), uv("length(event_type)"), uv("7"), uv("11"),
+        uv("4"), uv("3"), uv("strlen(event_type)"), uv("7"), uv("11"),
         "lower(hex('app'))", "lower(hex(event_type))",
         "lower(hex('user_id'))", "lower(hex('value_milli'))",
     ])
@@ -165,9 +165,9 @@ def _avro_sql() -> str:
         [
             _avro_varint_sql("user_id * 2"),
             _avro_varint_sql("commit_ts * 2"),
-            _avro_varint_sql("length(op) * 2"),
+            _avro_varint_sql("strlen(op) * 2"),
             "lower(hex(op))",
-            _avro_varint_sql("length(event_type) * 2"),
+            _avro_varint_sql("strlen(event_type) * 2"),
             "lower(hex(event_type))",
         ]
     )

@@ -510,7 +510,7 @@ def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_hex = F.concat(
         _varint_hex(F.lit(4).cast("long")),
         _varint_hex(F.lit(3).cast("long")),
-        _varint_hex(F.length(tbl).cast("long")),
+        _varint_hex(F.octet_length(tbl).cast("long")),
         _varint_hex(F.lit(7).cast("long")),
         _varint_hex(F.lit(11).cast("long")),
         F.lower(F.hex(F.lit("app"))),
@@ -628,9 +628,9 @@ def cdc_encode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat(
         _varint_hex(F.col("user_id") * 2),
         _varint_hex(F.col("commit_ts") * 2),
-        _varint_hex(F.length("op").cast("long") * 2),
+        _varint_hex(F.octet_length("op").cast("long") * 2),
         F.lower(F.hex("op")),
-        _varint_hex(F.length("event_type").cast("long") * 2),
+        _varint_hex(F.octet_length("event_type").cast("long") * 2),
         F.lower(F.hex("event_type")),
     )
     enc = feed.crossJoin(F.broadcast(registry)).select(
@@ -646,10 +646,11 @@ def cdc_encode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pb_str_field(tag_byte: int, col):
     """Protobuf length-delimited string field as hex: 1-byte tag
-    ((field_no << 3) | 2), varint byte length, UTF-8 bytes."""
+    ((field_no << 3) | 2), varint BYTE length (octet_length — a char count
+    corrupts the wire for multi-byte UTF-8), UTF-8 bytes."""
     return F.concat(
         F.lit(f"{tag_byte:02x}"),
-        _varint_hex(F.length(col).cast("long")),
+        _varint_hex(F.octet_length(col).cast("long")),
         F.lower(F.hex(col)),
     )
 
