@@ -156,16 +156,24 @@ def main() -> None:
     # session warmup: JVM/scheduler init otherwise lands on the first query
     spark.range(1000).groupBy(F.pmod("id", 7)).count().collect()
 
-    # min-of-2 per query, same protocol as the replay leg: trial 0 pays the
-    # one-time whole-stage-codegen compile (observed 20s vs 5s warm on the
-    # widest expression trees), which is a per-query constant, not
-    # throughput — both trials are reported so the cold cost stays visible.
+    # run-to-convergence per query, same protocol as the replay leg:
+    # trial 0 pays the one-time whole-stage-codegen compile (observed 20s vs
+    # 5s warm on the widest expression trees) — a per-query constant, not
+    # throughput — and on a contended host the warm number itself can
+    # wobble, so trials repeat until the best two agree within 15% (cap 4).
+    # All trials are reported so the cold cost stays visible.
+    def _settled(per: list[float]) -> bool:
+        if len(per) < 2:
+            return False
+        a, b = sorted(per)[:2]
+        return b - a <= 0.15 * max(a, 0.05)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
         per = []
-        for _ in range(2):
+        while len(per) < 4 and not _settled(per):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             per.append(round(time.time() - t0, 3))
