@@ -445,3 +445,26 @@ validate-state = true
     assert cfg.bootstrap_chunk_files == 2 and cfg.validate_state
     eng = build_engine(cfg)
     assert eng.table.checksums  # validate_after_apply reached the table
+
+
+def test_list_shows_mq_protocol(feed, tmp_path):
+    """list surfaces the MQ changefeed's envelope protocol — from the topic
+    manifest once published, falling back to the configured codec before."""
+    from tiflow_spark import lifecycle
+
+    f, _ = feed
+    cfg_dir = str(tmp_path / "mq_feeds")
+    os.makedirs(cfg_dir)
+    with open(os.path.join(cfg_dir, "topic.toml"), "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{tmp_path / 'lst_topic'}"
+
+[sink]
+type = "mq"
+partitions = 2
+protocol = "canal-json"
+""")
+    rows = lifecycle.list_changefeeds(cfg_dir)
+    assert rows[0]["sink"] == "mq"
+    assert rows[0]["protocol"] == "canal-json"

@@ -148,6 +148,7 @@ def list_changefeeds(config_dir: str) -> list[dict]:
             ts = engine.sink.topic_state()
             row["checkpoint_ts"] = ts.get("barrier_ts")
             row["epoch"] = ts.get("epoch", 0)
+            row["protocol"] = ts.get("protocol") or engine.protocol
         elif cfg.multi_table:
             ms = [t.current_manifest() for t in engine.tables.values()]
             done = [m for m in ms if m is not None]
