@@ -107,6 +107,12 @@ def test_text_stats_counts(spark):
     assert r["max_token_len"] == 3
     assert r["n_chars"] == 10
     assert r["bpe_est_tokens"] == 3  # ceil(10/4)
+    assert r["bpe_regex_tokens"] == 4  # letter runs: a, bb, ccc, a
+    r2 = text.text_stats(
+        spark.createDataFrame([(2, "it's 42%!")], "doc_id long, text string")
+    ).collect()[0]
+    # it, ', s, 4, 2, %! — digits one-per-token, punct runs fused
+    assert r2["bpe_regex_tokens"] == 6
 
 
 def test_langid_self_consistent(spark):

@@ -49,6 +49,12 @@ def text_stats(docs: DataFrame) -> DataFrame:
         .cast("int").alias("max_token_len"),
         F.length("text").cast("long").alias("n_chars"),
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("bpe_est_tokens"),
+        # BPE-ish pretokenizer count: the GPT-2 pattern simplified to the
+        # Java-regex ∩ RE2 subset (letter runs / single digits / punct runs
+        # — digits split one-per-token as modern BPE vocabularies do)
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"), 0
+        )).cast("long").alias("bpe_regex_tokens"),
     )
 
 

@@ -649,7 +649,9 @@ SELECT doc_id,
   CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)),
                       'max') AS INTEGER) AS max_token_len,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))
+       AS BIGINT) AS bpe_regex_tokens
 FROM documents
 """,
     "text_langid": """
