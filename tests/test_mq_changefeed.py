@@ -93,7 +93,7 @@ def test_mq_changefeed_lossless_ordered_with_ddl_broadcast(feed, tmp_path, spark
     assert cf.run(spark) == []
 
 
-@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json", "avro", "canal-pb"])
+@pytest.mark.parametrize("protocol", ["open-json", "maxwell", "canal-json", "avro", "canal-pb", "craft"])
 def test_topic_relay_replays_to_same_table(feed, tmp_path, spark, protocol):
     """The full relay chain per envelope codec: log → MQ topic →
     consumer-reconstructed log → engine replay must land the exact table
@@ -153,7 +153,7 @@ def test_mq_protocol_envelopes(feed, tmp_path, spark, protocol, op_names):
     assert "conv_id" in data and "turn_idx" in data
 
     with pytest.raises(ValueError, match="unknown MQ protocol"):
-        MQChangefeed(feed.log_path, sink, protocol="craft")
+        MQChangefeed(feed.log_path, sink, protocol="debezium")
 
 
 def test_cli_mq_sink(feed, tmp_path):
@@ -443,3 +443,29 @@ def test_binary_wire_roundtrip_edge_strings(spark):
     for r in canal_pb_envelope()(df).collect():
         parsed = _canal_pb_parse_row(r["envelope"])
         assert parsed[5] == r["conv_id"] and parsed[7] == r["payload"]
+
+
+def test_craft_mq_wire_roundtrip_bytes(feed, spark):
+    """Craft MQ envelope: staged JVM encode → tail-first Python decode
+    recovers header, both column groups, the term dictionary routing, and
+    null masks (delete payloads, absent pre-images)."""
+    from tiflow_spark.model import CHANGE_EVENT_SCHEMA
+    from tiflow_spark.sinks.mq import _craft_parse_row, craft_envelope
+
+    log = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed.log_path)
+    dml = log.filter(F.col("op").isin("I", "U", "D")).limit(200)
+    rows = craft_envelope()(dml).collect()
+    assert rows
+    saw_pre, saw_delete = False, False
+    for r in rows:
+        (seq, op, commit_ts, start_ts, schema_version, conv_id, turn_idx,
+         payload, pre_payload, ddl, hint, tbl) = _craft_parse_row(r["envelope"])
+        assert seq is None and start_ts is None  # not on the craft wire
+        assert (op, commit_ts) == (r["op"], r["commit_ts"])
+        assert (conv_id, turn_idx) == (r["conv_id"], r["turn_idx"])
+        assert payload == r["payload"]
+        assert pre_payload == r["pre_payload"]
+        assert tbl == (r["tbl"] or "transcripts")
+        saw_pre = saw_pre or pre_payload is not None
+        saw_delete = saw_delete or (op == "D" and payload is None)
+    assert saw_pre and saw_delete

@@ -373,12 +373,122 @@ def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
     return apply
 
 
+def craft_envelope(database: str = "app", table: str = "transcripts"):
+    """Craft columnar wire envelope over the change event (cdc/sink/codec/
+    craft.go + craft/encoder.go:36-183): version byte, header chunk (event
+    count, commit_ts, eventType, schema/table term-dict refs), a NEW-values
+    column group and an OLD-values column group (group-type byte, column
+    count, delta-zigzag name refs, mysql type bytes, null mask,
+    length-prefixed value chunk), the term dictionary, the delta-varint
+    size tables, and the reversed-uvarint trailer a reader parses BACKWARD
+    from the message tail. Batch-of-1 per message (the reference batches
+    rows; the per-row layout is identical — same stance as
+    cdc_encode_craft). Nulls carry a mask bit + zero length; the old-values
+    group is always present (empty under the mask) so the size tables have
+    a fixed shape. No seq/start_ts/schema_version on the wire — the relay
+    synthesizes seq from partition offsets (maxwell rule).
+
+    Returns a staged DataFrame transformer (see canal_pb_envelope: the
+    nested length prefixes re-reference their bodies, so each layer is a
+    named column)."""
+    from tiflow_spark.queries import _varint_hex, _zigzag_hex
+
+    def apply(df: DataFrame) -> DataFrame:
+        op = F.col("op")
+        etype = (
+            F.when(op == "I", 1).when(op == "D", 3).otherwise(2).cast("long")
+        )
+        tbl = F.coalesce(F.col("tbl"), F.lit(table))
+        header = F.concat(
+            _varint_hex(F.lit(1).cast("long")),      # event count
+            _varint_hex(F.col("commit_ts")),
+            _varint_hex(etype),
+            _zigzag_hex(F.lit(0).cast("long")),      # schema dict ref
+            _zigzag_hex(F.lit(1).cast("long")),      # table dict ref
+        )
+        conv_hex = F.lower(F.hex("conv_id"))
+        turn_hex = _zigzag_hex(F.col("turn_idx").cast("long"))
+        pay_hex = F.coalesce(F.lower(F.hex("payload")), F.lit(""))
+        pre_hex = F.coalesce(F.lower(F.hex("pre_payload")), F.lit(""))
+        null1 = F.when(F.col("payload").isNull(), F.lit("04")).otherwise(F.lit("00"))
+        null2 = F.when(F.col("pre_payload").isNull(), F.lit("01")).otherwise(F.lit("00"))
+        hexlen = lambda h: (F.length(h) / 2).cast("long")
+        g1 = F.concat(
+            F.lit("01"),                             # group: new values
+            _varint_hex(F.lit(3).cast("long")),      # 3 columns
+            _zigzag_hex(F.lit(2).cast("long")),      # conv_id dict ref
+            _zigzag_hex(F.lit(1).cast("long")),      # +1 -> turn_idx
+            _zigzag_hex(F.lit(1).cast("long")),      # +1 -> payload
+            F.lit("0f080f"),                         # VARCHAR, LONGLONG, VARCHAR
+            null1,                                   # null mask (bit2=payload)
+            _varint_hex(hexlen(conv_hex)),
+            _varint_hex(hexlen(turn_hex)),
+            _varint_hex(hexlen(pay_hex)),
+            conv_hex, turn_hex, pay_hex,
+        )
+        g2 = F.concat(
+            F.lit("02"),                             # group: old values
+            _varint_hex(F.lit(1).cast("long")),
+            _zigzag_hex(F.lit(4).cast("long")),      # payload dict ref
+            F.lit("0f"),
+            null2,
+            _varint_hex(hexlen(pre_hex)),
+            pre_hex,
+        )
+        dict_hex = F.concat(
+            _varint_hex(F.lit(5).cast("long")),
+            _varint_hex(F.lit(len(database)).cast("long")),
+            _varint_hex(F.octet_length(tbl).cast("long")),
+            _varint_hex(F.lit(7).cast("long")),      # conv_id
+            _varint_hex(F.lit(8).cast("long")),      # turn_idx
+            _varint_hex(F.lit(7).cast("long")),      # payload
+            F.lower(F.hex(F.lit(database))),
+            F.lower(F.hex(tbl)),
+            F.lower(F.hex(F.lit("conv_id"))),
+            F.lower(F.hex(F.lit("turn_idx"))),
+            F.lower(F.hex(F.lit("payload"))),
+        )
+        staged = (
+            df.withColumn("_cr_hdr", header)
+            .withColumn("_cr_g1", g1)
+            .withColumn("_cr_g2", g2)
+            .withColumn("_cr_dict", dict_hex)
+        )
+        staged = staged.withColumn(
+            "_cr_tables",
+            F.concat(
+                _varint_hex(F.lit(2).cast("long")),  # meta: header, dict delta
+                _zigzag_hex(hexlen(F.col("_cr_hdr"))),
+                _zigzag_hex(hexlen(F.col("_cr_dict")) - hexlen(F.col("_cr_hdr"))),
+                _varint_hex(F.lit(1).cast("long")),  # body size
+                _zigzag_hex(hexlen(F.col("_cr_g1")) + hexlen(F.col("_cr_g2"))),
+                _varint_hex(F.lit(2).cast("long")),  # per-group sizes
+                _zigzag_hex(hexlen(F.col("_cr_g1"))),
+                _zigzag_hex(hexlen(F.col("_cr_g2"))),
+            ),
+        )
+        from tiflow_spark.queries import _uvarint_rev_hex
+
+        return staged.withColumn(
+            "envelope",
+            F.concat(
+                F.lit("01"),                         # craft Version1
+                F.col("_cr_hdr"), F.col("_cr_g1"), F.col("_cr_g2"),
+                F.col("_cr_dict"), F.col("_cr_tables"),
+                _uvarint_rev_hex(hexlen(F.col("_cr_tables"))),
+            ),
+        ).drop("_cr_hdr", "_cr_g1", "_cr_g2", "_cr_dict", "_cr_tables")
+
+    return apply
+
+
 MQ_PROTOCOLS = {
     "open-json": open_json_envelope,
     "maxwell": maxwell_envelope,
     "canal-json": canal_json_envelope,
     "avro": avro_envelope,
     "canal-pb": canal_pb_envelope,
+    "craft": craft_envelope,
 }
 
 
@@ -816,12 +926,138 @@ def _decode_canal_pb(row_msgs: DataFrame) -> DataFrame:
     )
 
 
+def _craft_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _pb_read_uvarint(buf, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _craft_parse_row(hexstr: str) -> tuple:
+    """Inverse of craft_envelope, parsed the way the reference decoder
+    does: the trailer's REVERSED uvarint (read backward from the last
+    byte) locates the size tables, the tables locate every segment, then
+    the header / groups / term dictionary decode forward — any size-table
+    drift fails loudly."""
+    b = bytes.fromhex(hexstr)
+    if b[0] != 0x01:
+        raise ValueError("not craft Version1")
+    # tail-first: reversed uvarint = same septets, highest first
+    j, v, shift = len(b) - 1, 0, 0
+    while True:
+        v |= (b[j] & 0x7F) << shift
+        shift += 7
+        j -= 1
+        if not b[j + 1] & 0x80:
+            break
+    tables = b[j + 1 - v : j + 1]
+    i = 0
+    n, i = _pb_read_uvarint(tables, i)
+    if n != 2:
+        raise ValueError("craft: bad meta size count")
+    hsize, i = _craft_zigzag(tables, i)
+    ddelta, i = _craft_zigzag(tables, i)
+    dsize = hsize + ddelta
+    n, i = _pb_read_uvarint(tables, i)
+    bsize, i = _craft_zigzag(tables, i)
+    n, i = _pb_read_uvarint(tables, i)
+    g1size, i = _craft_zigzag(tables, i)
+    g2size, i = _craft_zigzag(tables, i)
+    if g1size + g2size != bsize or 1 + hsize + bsize + dsize != j + 1 - v:
+        raise ValueError("craft: size tables do not match layout")
+    # header
+    h = b[1 : 1 + hsize]
+    i = 0
+    cnt, i = _pb_read_uvarint(h, i)
+    if cnt != 1:
+        raise ValueError("craft: expected batch-of-1 message")
+    commit_ts, i = _pb_read_uvarint(h, i)
+    etype, i = _pb_read_uvarint(h, i)
+    _schema_ref, i = _craft_zigzag(h, i)
+    table_ref, i = _craft_zigzag(h, i)
+    # term dictionary
+    d = b[1 + hsize + bsize : 1 + hsize + bsize + dsize]
+    i = 0
+    tcnt, i = _pb_read_uvarint(d, i)
+    lens = []
+    for _ in range(tcnt):
+        ln, i = _pb_read_uvarint(d, i)
+        lens.append(ln)
+    terms = []
+    for ln in lens:
+        terms.append(d[i : i + ln].decode("utf-8"))
+        i += ln
+
+    def group(seg: bytes, want_type: int) -> dict[str, object]:
+        i = 0
+        if seg[i] != want_type:
+            raise ValueError(f"craft: group type {seg[i]} != {want_type}")
+        i += 1
+        ncols, i = _pb_read_uvarint(seg, i)
+        refs, ref = [], 0
+        for k in range(ncols):
+            delta, i = _craft_zigzag(seg, i)
+            ref = delta if k == 0 else ref + delta
+            refs.append(ref)
+        i += ncols  # mysql type bytes
+        nullmask = seg[i]
+        i += 1
+        vlens = []
+        for _ in range(ncols):
+            ln, i = _pb_read_uvarint(seg, i)
+            vlens.append(ln)
+        out = {}
+        for k, (r, ln) in enumerate(zip(refs, vlens)):
+            raw = seg[i : i + ln]
+            i += ln
+            name = terms[r]
+            if nullmask & (1 << k):
+                out[name] = None
+            elif name == "turn_idx":
+                val, _ = _craft_zigzag(raw, 0)
+                out[name] = val
+            else:
+                out[name] = raw.decode("utf-8")
+        return out
+
+    new = group(b[1 + hsize : 1 + hsize + g1size], 0x01)
+    old = group(b[1 + hsize + g1size : 1 + hsize + bsize], 0x02)
+    op = {1: "I", 2: "U", 3: "D"}[etype]
+    return (None, op, commit_ts, None, None, new["conv_id"],
+            new["turn_idx"], new["payload"], old["payload"],
+            None, None, terms[table_ref])
+
+
+def _decode_craft(row_msgs: DataFrame) -> DataFrame:
+    """Consumer-side craft decode: Arrow-batched ``mapInPandas``, tail-first
+    like the reference reader; seq is offset-derived (maxwell rule)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                [_craft_parse_row(v) for v in pdf["value"]],
+                columns=_RELAY_COLS,
+            )
+            out["seq"] = pdf["offset"].values
+            for c in ("seq", "commit_ts", "start_ts", "schema_version",
+                      "turn_idx", "partition_hint"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return row_msgs.select("offset", "value").mapInPandas(
+        gen,
+        "seq long, op string, commit_ts long, start_ts long, "
+        "schema_version int, conv_id string, turn_idx int, payload string, "
+        "pre_payload string, ddl string, partition_hint int, tbl string",
+    )
+
+
 RELAY_DECODERS = {
     "open-json": _decode_open_json,
     "maxwell": _decode_maxwell,
     "canal-json": _decode_canal_json,
     "avro": _decode_avro,
     "canal-pb": _decode_canal_pb,
+    "craft": _decode_craft,
 }
 
 
