@@ -36,11 +36,13 @@ _SHINGLES = """
 """
 
 
-def _avro_varint_sql(v: str) -> str:
+def _avro_varint_sql(v: str, septets: int = 9) -> str:
     """Base-128 varint of a nonnegative expr as lowercase hex — the same
-    5-septet unroll as the Spark side (queries._varint_hex)."""
+    unroll widths as the Spark side (queries._varint_hex): 9 septets for
+    data values (full nonnegative int64), 5 for structurally-bounded
+    lengths/counts/refs."""
     parts = []
-    for i in range(5):
+    for i in range(septets):
         sept = f"((({v}) >> {7 * i}) & 127)"
         more = f"((({v}) >> {7 * (i + 1)}) > 0)"
         byte = f"({sept} + CASE WHEN {more} THEN 128 ELSE 0 END)"
@@ -53,7 +55,7 @@ def _pb_str_sql(tag_byte: int, expr: str) -> str:
     """Protobuf length-delimited string field as hex (mirrors
     queries._pb_str_field)."""
     return (
-        f"'{tag_byte:02x}' || {_avro_varint_sql(f'strlen({expr})')}"
+        f"'{tag_byte:02x}' || {_avro_varint_sql(f'strlen({expr})', 5)}"
         f" || lower(hex({expr}))"
     )
 
@@ -67,23 +69,23 @@ def _canal_pb_sql() -> str:
         _pb_str_sql(0x12, "event_type"),
         "'18'", _avro_varint_sql("commit_ts"),
         "'20'", _avro_varint_sql(
-            "CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END"),
+            "CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END", 5),
     ])
     col0 = " || ".join([
-        "'08'", _avro_varint_sql("0"),
+        "'08'", _avro_varint_sql("0", 5),
         _pb_str_sql(0x12, "'user_id'"),
         _pb_str_sql(0x1A, "CAST(user_id AS VARCHAR)"),
     ])
     col1 = " || ".join([
-        "'08'", _avro_varint_sql("1"),
+        "'08'", _avro_varint_sql("1", 5),
         _pb_str_sql(0x12, "'value_milli'"),
         _pb_str_sql(0x1A, "CAST(CAST(round(value * 1000) AS BIGINT) AS VARCHAR)"),
     ])
     entry = " || ".join([
-        "'0a'", _avro_varint_sql("length(header_hex) // 2"), "header_hex",
+        "'0a'", _avro_varint_sql("length(header_hex) // 2", 5), "header_hex",
         "'1000'",
-        "'1a'", _avro_varint_sql("length(c0_hex) // 2"), "c0_hex",
-        "'1a'", _avro_varint_sql("length(c1_hex) // 2"), "c1_hex",
+        "'1a'", _avro_varint_sql("length(c0_hex) // 2", 5), "c0_hex",
+        "'1a'", _avro_varint_sql("length(c1_hex) // 2", 5), "c1_hex",
     ])
     return (
         "WITH feed AS (" + _FEED + "),\n"
@@ -91,26 +93,27 @@ def _canal_pb_sql() -> str:
         + col0 + " AS c0_hex, " + col1 + " AS c1_hex FROM feed),\n"
         "e AS (SELECT event_id, " + entry + " AS entry_hex FROM parts)\n"
         "SELECT event_id, "
-        + _avro_varint_sql("length(entry_hex) // 2")
+        + _avro_varint_sql("length(entry_hex) // 2", 5)
         + " || entry_hex AS wire_hex, md5("
-        + _avro_varint_sql("length(entry_hex) // 2")
+        + _avro_varint_sql("length(entry_hex) // 2", 5)
         + " || entry_hex) AS wire_md5 FROM e"
     )
 
 
-def _zigzag_sql(e: str) -> str:
+def _zigzag_sql(e: str, septets: int = 9) -> str:
     """Zigzag varint of a possibly-negative SQL expr (mirrors
     queries._zigzag_hex)."""
     return _avro_varint_sql(
-        f"(CASE WHEN ({e}) >= 0 THEN ({e}) * 2 ELSE -({e}) * 2 - 1 END)"
+        f"(CASE WHEN ({e}) >= 0 THEN ({e}) * 2 ELSE -({e}) * 2 - 1 END)",
+        septets,
     )
 
 
-def _uvarint_rev_sql(v: str) -> str:
+def _uvarint_rev_sql(v: str, septets: int = 9) -> str:
     """Reversed uvarint (mirrors queries._uvarint_rev_hex): same bytes,
     highest septet first."""
     parts = []
-    for i in reversed(range(5)):
+    for i in reversed(range(septets)):
         sept = f"((({v}) >> {7 * i}) & 127)"
         more = f"((({v}) >> {7 * (i + 1)}) > 0)"
         byte = f"({sept} + CASE WHEN {more} THEN 128 ELSE 0 END)"
@@ -124,26 +127,27 @@ def _craft_sql() -> str:
     uv = _avro_varint_sql
     zz = _zigzag_sql
     header = " || ".join([
-        uv("1"), uv("commit_ts"),
-        uv("CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END"),
-        zz("0"), zz("1"),
+        uv("1", 5), uv("commit_ts"),
+        uv("CASE op WHEN 'I' THEN 1 WHEN 'D' THEN 3 ELSE 2 END", 5),
+        zz("0", 5), zz("1", 5),
     ])
     v0 = zz("user_id")
     v1 = zz("CAST(round(value * 1000) AS BIGINT)")
     body = " || ".join([
-        "'01'", uv("2"), zz("2"), zz("1"), "'0808'",
-        uv(f"length({v0}) // 2"), uv(f"length({v1}) // 2"), v0, v1,
+        "'01'", uv("2", 5), zz("2", 5), zz("1", 5), "'0808'",
+        uv(f"length({v0}) // 2", 5), uv(f"length({v1}) // 2", 5), v0, v1,
     ])
     dic = " || ".join([
-        uv("4"), uv("3"), uv("strlen(event_type)"), uv("7"), uv("11"),
+        uv("4", 5), uv("3", 5), uv("strlen(event_type)", 5), uv("7", 5),
+        uv("11", 5),
         "lower(hex('app'))", "lower(hex(event_type))",
         "lower(hex('user_id'))", "lower(hex('value_milli'))",
     ])
     tables = " || ".join([
-        uv("2"), zz("length(header_hex) // 2"),
-        zz("length(dict_hex) // 2 - length(header_hex) // 2"),
-        uv("1"), zz("length(body_hex) // 2"),
-        uv("1"), zz("length(body_hex) // 2"),
+        uv("2", 5), zz("length(header_hex) // 2", 5),
+        zz("length(dict_hex) // 2 - length(header_hex) // 2", 5),
+        uv("1", 5), zz("length(body_hex) // 2", 5),
+        uv("1", 5), zz("length(body_hex) // 2", 5),
     ])
     return (
         "WITH feed AS (" + _FEED + "),\n"
@@ -152,7 +156,7 @@ def _craft_sql() -> str:
         "st AS (SELECT event_id, header_hex, body_hex, dict_hex, "
         + tables + " AS tables_hex FROM parts),\n"
         "w AS (SELECT event_id, '01' || header_hex || body_hex || dict_hex"
-        " || tables_hex || " + _uvarint_rev_sql("length(tables_hex) // 2")
+        " || tables_hex || " + _uvarint_rev_sql("length(tables_hex) // 2", 5)
         + " AS wire_hex FROM st)\n"
         "SELECT event_id, wire_hex, md5(wire_hex) AS wire_md5 FROM w"
     )
@@ -165,9 +169,9 @@ def _avro_sql() -> str:
         [
             _avro_varint_sql("user_id * 2"),
             _avro_varint_sql("commit_ts * 2"),
-            _avro_varint_sql("strlen(op) * 2"),
+            _avro_varint_sql("strlen(op) * 2", 5),
             "lower(hex(op))",
-            _avro_varint_sql("strlen(event_type) * 2"),
+            _avro_varint_sql("strlen(event_type) * 2", 5),
             "lower(hex(event_type))",
         ]
     )

@@ -435,17 +435,18 @@ def cdc_encode_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select("event_id", "envelope", F.md5("envelope").alias("envelope_md5"))
 
 
-def _zigzag_hex(v):
-    """Craft/protobuf zigzag varint of a possibly-negative long, as hex."""
-    return _varint_hex(F.when(v >= 0, v * 2).otherwise(-v * 2 - 1))
+def _zigzag_hex(v, septets: int = 9):
+    """Craft/protobuf zigzag varint of a possibly-negative long, as hex
+    (domain |v| < 2^62 — the zigzag doubling must fit a signed long)."""
+    return _varint_hex(F.when(v >= 0, v * 2).otherwise(-v * 2 - 1), septets)
 
 
-def _uvarint_rev_hex(v):
+def _uvarint_rev_hex(v, septets: int = 9):
     """Craft's reversed uvarint (craft/encoder.go:59-75): the same varint
     bytes emitted highest-septet first, so a reader can parse it BACKWARD
     from the end of the message to locate the size tables."""
     parts = []
-    for i in reversed(range(5)):
+    for i in reversed(range(septets)):
         sept = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
         more = F.shiftright(v, 7 * (i + 1)) > 0
         byte = sept + F.when(more, F.lit(0x80)).otherwise(F.lit(0))
@@ -481,11 +482,11 @@ def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     # header: event count, commit_ts / type uvarint chunks, then term-dict
     # refs for schema ("app"=0) and table (event_type=1) as zigzag varints
     header = F.concat(
-        _varint_hex(F.lit(1).cast("long")),          # event count
+        _varint_hex(F.lit(1).cast("long"), septets=5),  # event count
         _varint_hex(F.col("commit_ts")),
-        _varint_hex(etype),
-        _zigzag_hex(F.lit(0).cast("long")),          # schema dict ref
-        _zigzag_hex(F.lit(1).cast("long")),          # table dict ref
+        _varint_hex(etype, septets=5),
+        _zigzag_hex(F.lit(0).cast("long"), septets=5),  # schema dict ref
+        _zigzag_hex(F.lit(1).cast("long"), septets=5),  # table dict ref
     )
     # column group: 0x01 = "new values" group (craft/model.go:31), 2 cols,
     # name refs as a DELTA zigzag chunk (2, then 3-2), TypeLongLong bytes,
@@ -495,12 +496,12 @@ def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = _zigzag_hex(vm)
     body = F.concat(
         F.lit("01"),
-        _varint_hex(F.lit(2).cast("long")),
-        _zigzag_hex(F.lit(2).cast("long")),
-        _zigzag_hex(F.lit(1).cast("long")),          # delta to ref 3
+        _varint_hex(F.lit(2).cast("long"), septets=5),
+        _zigzag_hex(F.lit(2).cast("long"), septets=5),
+        _zigzag_hex(F.lit(1).cast("long"), septets=5),  # delta to ref 3
         F.lit("0808"),                               # mysql TypeLongLong x2
-        _varint_hex(_hexlen(v0)),
-        _varint_hex(_hexlen(v1)),
+        _varint_hex(_hexlen(v0), septets=5),
+        _varint_hex(_hexlen(v1), septets=5),
         v0,
         v1,
     )
@@ -508,11 +509,11 @@ def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (string chunk: all lengths, then all bytes)
     tbl = F.col("event_type")
     dict_hex = F.concat(
-        _varint_hex(F.lit(4).cast("long")),
-        _varint_hex(F.lit(3).cast("long")),
-        _varint_hex(F.octet_length(tbl).cast("long")),
-        _varint_hex(F.lit(7).cast("long")),
-        _varint_hex(F.lit(11).cast("long")),
+        _varint_hex(F.lit(4).cast("long"), septets=5),
+        _varint_hex(F.lit(3).cast("long"), septets=5),
+        _varint_hex(F.octet_length(tbl).cast("long"), septets=5),
+        _varint_hex(F.lit(7).cast("long"), septets=5),
+        _varint_hex(F.lit(11).cast("long"), septets=5),
         F.lower(F.hex(F.lit("app"))),
         F.lower(F.hex(tbl)),
         F.lower(F.hex(F.lit("user_id"))),
@@ -541,16 +542,16 @@ def cdc_encode_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = parts.select(
         "*",
         F.concat(
-            _varint_hex(F.lit(2).cast("long")),
-            _zigzag_hex(hlen), _zigzag_hex(dlen - hlen),
-            _varint_hex(F.lit(1).cast("long")), _zigzag_hex(blen),
-            _varint_hex(F.lit(1).cast("long")), _zigzag_hex(blen),
+            _varint_hex(F.lit(2).cast("long"), septets=5),
+            _zigzag_hex(hlen, septets=5), _zigzag_hex(dlen - hlen, septets=5),
+            _varint_hex(F.lit(1).cast("long"), septets=5), _zigzag_hex(blen, septets=5),
+            _varint_hex(F.lit(1).cast("long"), septets=5), _zigzag_hex(blen, septets=5),
         ).alias("tables_hex"),
     )
     wire = F.concat(
         F.lit("01"),  # craft Version1
         F.col("header_hex"), F.col("body_hex"), F.col("dict_hex"),
-        F.col("tables_hex"), _uvarint_rev_hex(_hexlen(F.col("tables_hex"))),
+        F.col("tables_hex"), _uvarint_rev_hex(_hexlen(F.col("tables_hex")), septets=5),
     )
     return staged.select(
         "event_id", wire.alias("wire_hex")
@@ -599,11 +600,14 @@ def _hex_byte(b):
     return F.lower(F.lpad(F.hex(b), 2, "0"))
 
 
-def _varint_hex(v):
-    """Avro/protobuf base-128 varint of a nonnegative long (< 2^35), as a
-    lowercase hex string — unrolled to 5 septets, pure codegen arithmetic."""
+def _varint_hex(v, septets: int = 9):
+    """Avro/protobuf base-128 varint of a nonnegative long, as a lowercase
+    hex string — unrolled to ``septets`` septets (9 = 63 bits, the full
+    nonnegative int64 domain; real TiDB TSOs are ~2^59, so a narrower
+    unroll silently corrupts the wire), pure codegen arithmetic. Bounded
+    values (byte lengths, dict refs) pass septets=5 to keep plans lean."""
     parts = []
-    for i in range(5):
+    for i in range(septets):
         sept = F.shiftright(v, 7 * i).bitwiseAND(F.lit(0x7F))
         more = F.shiftright(v, 7 * (i + 1)) > 0
         byte = sept + F.when(more, F.lit(0x80)).otherwise(F.lit(0))
@@ -628,9 +632,9 @@ def cdc_encode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.concat(
         _varint_hex(F.col("user_id") * 2),
         _varint_hex(F.col("commit_ts") * 2),
-        _varint_hex(F.octet_length("op").cast("long") * 2),
+        _varint_hex(F.octet_length("op").cast("long") * 2, septets=5),
         F.lower(F.hex("op")),
-        _varint_hex(F.octet_length("event_type").cast("long") * 2),
+        _varint_hex(F.octet_length("event_type").cast("long") * 2, septets=5),
         F.lower(F.hex("event_type")),
     )
     enc = feed.crossJoin(F.broadcast(registry)).select(
@@ -650,7 +654,7 @@ def _pb_str_field(tag_byte: int, col):
     corrupts the wire for multi-byte UTF-8), UTF-8 bytes."""
     return F.concat(
         F.lit(f"{tag_byte:02x}"),
-        _varint_hex(F.octet_length(col).cast("long")),
+        _varint_hex(F.octet_length(col).cast("long"), septets=5),
         F.lower(F.hex(col)),
     )
 
@@ -660,7 +664,7 @@ def _pb_msg_field(tag_byte: int, body_hex):
     message's BYTE length (hex chars / 2), then the nested bytes."""
     return F.concat(
         F.lit(f"{tag_byte:02x}"),
-        _varint_hex((F.length(body_hex) / 2).cast("long")),
+        _varint_hex((F.length(body_hex) / 2).cast("long"), septets=5),
         body_hex,
     )
 
@@ -683,15 +687,15 @@ def cdc_encode_canal_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pb_str_field(0x0A, F.lit("app")),                      # f1 schemaName
         _pb_str_field(0x12, F.col("event_type")),               # f2 tableName
         F.lit("18"), _varint_hex(F.col("commit_ts")),           # f3 executeTime
-        F.lit("20"), _varint_hex(etype),                        # f4 eventType
+        F.lit("20"), _varint_hex(etype, septets=5),             # f4 eventType
     )
     col0 = F.concat(
-        F.lit("08"), _varint_hex(F.lit(0).cast("long")),        # f1 index
+        F.lit("08"), _varint_hex(F.lit(0).cast("long"), septets=5),  # f1 index
         _pb_str_field(0x12, F.lit("user_id")),                  # f2 name
         _pb_str_field(0x1A, F.col("user_id").cast("string")),   # f3 value
     )
     col1 = F.concat(
-        F.lit("08"), _varint_hex(F.lit(1).cast("long")),
+        F.lit("08"), _varint_hex(F.lit(1).cast("long"), septets=5),
         _pb_str_field(0x12, F.lit("value_milli")),
         _pb_str_field(
             0x1A, F.round(F.col("value") * 1000).cast("long").cast("string")
@@ -706,7 +710,7 @@ def cdc_encode_canal_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = feed.select(
         "event_id",
         F.concat(
-            _varint_hex((F.length(entry) / 2).cast("long")), entry
+            _varint_hex((F.length(entry) / 2).cast("long"), septets=5), entry
         ).alias("wire_hex"),
     )
     return enc.withColumn("wire_md5", F.md5("wire_hex"))

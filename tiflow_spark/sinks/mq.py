@@ -273,7 +273,8 @@ def avro_envelope(schema_id: int = AVRO_ROW_SCHEMA_ID) -> "F.Column":
     def _str(c):
         # Avro string: byte length as a (zigzag) long, then UTF-8 bytes
         return F.concat(
-            _varint_hex(F.octet_length(c).cast("long") * 2), F.lower(F.hex(c))
+            _varint_hex(F.octet_length(c).cast("long") * 2, septets=5),
+            F.lower(F.hex(c)),
         )
 
     def _opt(name, enc):
@@ -328,7 +329,7 @@ def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
         # Column message under RowData field `parent_tag`; a NULL value
         # omits the whole Column (proto3 absent-field semantics)
         inner = F.concat(
-            F.lit("08"), _varint_hex(F.lit(idx).cast("long")),
+            F.lit("08"), _varint_hex(F.lit(idx).cast("long"), septets=5),
             _pb_str_field(0x12, F.lit(name)),
             _pb_str_field(0x1A, value),
         )
@@ -345,7 +346,7 @@ def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
             _pb_str_field(0x0A, F.lit(database)),                  # f1 schemaName
             _pb_str_field(0x12, F.coalesce(F.col("tbl"), F.lit(table))),  # f2
             F.lit("18"), _varint_hex(F.col("commit_ts")),          # f3 executeTime
-            F.lit("20"), _varint_hex(etype),                       # f4 eventType
+            F.lit("20"), _varint_hex(etype, septets=5),            # f4 eventType
         )
         rowdata = F.concat(
             _col_msg(0, "payload", F.col("pre_payload"), 0x0A),    # f1 before
@@ -400,11 +401,11 @@ def craft_envelope(database: str = "app", table: str = "transcripts"):
         )
         tbl = F.coalesce(F.col("tbl"), F.lit(table))
         header = F.concat(
-            _varint_hex(F.lit(1).cast("long")),      # event count
+            _varint_hex(F.lit(1).cast("long"), septets=5),   # event count
             _varint_hex(F.col("commit_ts")),
-            _varint_hex(etype),
-            _zigzag_hex(F.lit(0).cast("long")),      # schema dict ref
-            _zigzag_hex(F.lit(1).cast("long")),      # table dict ref
+            _varint_hex(etype, septets=5),
+            _zigzag_hex(F.lit(0).cast("long"), septets=5),   # schema dict ref
+            _zigzag_hex(F.lit(1).cast("long"), septets=5),   # table dict ref
         )
         conv_hex = F.lower(F.hex("conv_id"))
         turn_hex = _zigzag_hex(F.col("turn_idx").cast("long"))
@@ -415,33 +416,33 @@ def craft_envelope(database: str = "app", table: str = "transcripts"):
         hexlen = lambda h: (F.length(h) / 2).cast("long")
         g1 = F.concat(
             F.lit("01"),                             # group: new values
-            _varint_hex(F.lit(3).cast("long")),      # 3 columns
-            _zigzag_hex(F.lit(2).cast("long")),      # conv_id dict ref
-            _zigzag_hex(F.lit(1).cast("long")),      # +1 -> turn_idx
-            _zigzag_hex(F.lit(1).cast("long")),      # +1 -> payload
+            _varint_hex(F.lit(3).cast("long"), septets=5),   # 3 columns
+            _zigzag_hex(F.lit(2).cast("long"), septets=5),   # conv_id dict ref
+            _zigzag_hex(F.lit(1).cast("long"), septets=5),   # +1 -> turn_idx
+            _zigzag_hex(F.lit(1).cast("long"), septets=5),   # +1 -> payload
             F.lit("0f080f"),                         # VARCHAR, LONGLONG, VARCHAR
             null1,                                   # null mask (bit2=payload)
-            _varint_hex(hexlen(conv_hex)),
-            _varint_hex(hexlen(turn_hex)),
-            _varint_hex(hexlen(pay_hex)),
+            _varint_hex(hexlen(conv_hex), septets=5),
+            _varint_hex(hexlen(turn_hex), septets=5),
+            _varint_hex(hexlen(pay_hex), septets=5),
             conv_hex, turn_hex, pay_hex,
         )
         g2 = F.concat(
             F.lit("02"),                             # group: old values
-            _varint_hex(F.lit(1).cast("long")),
-            _zigzag_hex(F.lit(4).cast("long")),      # payload dict ref
+            _varint_hex(F.lit(1).cast("long"), septets=5),
+            _zigzag_hex(F.lit(4).cast("long"), septets=5),   # payload dict ref
             F.lit("0f"),
             null2,
-            _varint_hex(hexlen(pre_hex)),
+            _varint_hex(hexlen(pre_hex), septets=5),
             pre_hex,
         )
         dict_hex = F.concat(
-            _varint_hex(F.lit(5).cast("long")),
-            _varint_hex(F.lit(len(database)).cast("long")),
-            _varint_hex(F.octet_length(tbl).cast("long")),
-            _varint_hex(F.lit(7).cast("long")),      # conv_id
-            _varint_hex(F.lit(8).cast("long")),      # turn_idx
-            _varint_hex(F.lit(7).cast("long")),      # payload
+            _varint_hex(F.lit(5).cast("long"), septets=5),
+            _varint_hex(F.lit(len(database)).cast("long"), septets=5),
+            _varint_hex(F.octet_length(tbl).cast("long"), septets=5),
+            _varint_hex(F.lit(7).cast("long"), septets=5),   # conv_id
+            _varint_hex(F.lit(8).cast("long"), septets=5),   # turn_idx
+            _varint_hex(F.lit(7).cast("long"), septets=5),   # payload
             F.lower(F.hex(F.lit(database))),
             F.lower(F.hex(tbl)),
             F.lower(F.hex(F.lit("conv_id"))),
@@ -457,14 +458,16 @@ def craft_envelope(database: str = "app", table: str = "transcripts"):
         staged = staged.withColumn(
             "_cr_tables",
             F.concat(
-                _varint_hex(F.lit(2).cast("long")),  # meta: header, dict delta
-                _zigzag_hex(hexlen(F.col("_cr_hdr"))),
-                _zigzag_hex(hexlen(F.col("_cr_dict")) - hexlen(F.col("_cr_hdr"))),
-                _varint_hex(F.lit(1).cast("long")),  # body size
-                _zigzag_hex(hexlen(F.col("_cr_g1")) + hexlen(F.col("_cr_g2"))),
-                _varint_hex(F.lit(2).cast("long")),  # per-group sizes
-                _zigzag_hex(hexlen(F.col("_cr_g1"))),
-                _zigzag_hex(hexlen(F.col("_cr_g2"))),
+                _varint_hex(F.lit(2).cast("long"), septets=5),  # meta sizes
+                _zigzag_hex(hexlen(F.col("_cr_hdr")), septets=5),
+                _zigzag_hex(hexlen(F.col("_cr_dict")) - hexlen(F.col("_cr_hdr")),
+                            septets=5),
+                _varint_hex(F.lit(1).cast("long"), septets=5),  # body size
+                _zigzag_hex(hexlen(F.col("_cr_g1")) + hexlen(F.col("_cr_g2")),
+                            septets=5),
+                _varint_hex(F.lit(2).cast("long"), septets=5),  # group sizes
+                _zigzag_hex(hexlen(F.col("_cr_g1")), septets=5),
+                _zigzag_hex(hexlen(F.col("_cr_g2")), septets=5),
             ),
         )
         from tiflow_spark.queries import _uvarint_rev_hex
@@ -475,7 +478,7 @@ def craft_envelope(database: str = "app", table: str = "transcripts"):
                 F.lit("01"),                         # craft Version1
                 F.col("_cr_hdr"), F.col("_cr_g1"), F.col("_cr_g2"),
                 F.col("_cr_dict"), F.col("_cr_tables"),
-                _uvarint_rev_hex(hexlen(F.col("_cr_tables"))),
+                _uvarint_rev_hex(hexlen(F.col("_cr_tables")), septets=5),
             ),
         ).drop("_cr_hdr", "_cr_g1", "_cr_g2", "_cr_dict", "_cr_tables")
 
