@@ -133,3 +133,45 @@ def test_lineage_emitted(spark, tmp_path):
     assert lin["applied_events"].sum() == sum(e.dml_events for e in stats.epochs)
     assert set(lin.columns) == {"epoch", "partition_id", "applied_events", "max_resolved_ts"}
     assert lin["max_resolved_ts"].max() <= stats.epochs[-1].barrier_ts
+
+
+def test_tso_scale_timestamps(spark, tmp_path):
+    """Real TiDB TSOs are physical_ms << 18 (~2^59 today): the whole path —
+    epoch slice, fold, watermark barriers, checkpoint persistence, MQ
+    publish + relay — must be exact at that magnitude, not just at the
+    small synthetic ts the fixtures use (the wire varints were silently
+    35-bit until the property suite caught it)."""
+    TSO = (1_700_000_000_000 << 18)  # a real-world-scale base TSO
+    base = [("c1", 0, "user", "hello", None, "2024-01-01T00:00:00")]
+    events = [
+        ev(0, "I", TSO + 1, "c1", 1, pl("a")),
+        ev(1, "U", TSO + 2, "c1", 1, pl("b")),
+        ev(2, "R", TSO + 2),
+        ev(3, "D", TSO + 3, "c1", 0),
+        ev(4, "I", TSO + 4, "c2", 0, pl("c")),
+        ev(5, "R", TSO + 4),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, base, final_resolved=False)
+    eng, stats = _run_engine(spark, tmp_path, base_fp, log_dir,
+                             barrier_stride=1)
+    assert len(stats.epochs) == 2
+    assert eng.table.current_manifest()["checkpoint_ts"] == TSO + 4
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(), sequential_apply(base_fp, log_dir)
+    )
+
+    # the binary wires carry the full TSO exactly
+    from tiflow_spark.sinks.mq import (
+        FileMQSink, MQChangefeed, topic_to_log,
+    )
+    for protocol in ("avro", "canal-pb", "craft"):
+        sink = FileMQSink(str(tmp_path / f"tso_topic_{protocol}"), n_partitions=2)
+        MQChangefeed(log_dir, sink, protocol=protocol).run(spark)
+        log2 = topic_to_log(spark, sink, str(tmp_path / f"tso_log_{protocol}"))
+        t2 = LakeTable(str(tmp_path / f"tso_t_{protocol}"), num_buckets=2)
+        e2 = ChangefeedEngine(log2, t2)
+        e2.bootstrap(spark, base_fp, start_ts=0)
+        e2.run(spark)
+        assert_tables_equal(
+            e2.final_state(spark).toPandas(), sequential_apply(base_fp, log_dir)
+        )
