@@ -352,9 +352,15 @@ def test_avro_wire_roundtrip_bytes(feed, spark):
 def test_canal_pb_wire_roundtrip_bytes(feed, spark):
     """Canal protobuf wire: JVM staged encode → Python TLV decode recovers
     header fields, before/after column images, and null-column omission;
-    a real protobuf reader sees valid tag/varint/length-delimited framing."""
+    a real protobuf reader sees valid tag/varint/length-delimited framing.
+    Row-image routing follows the reference canal wire: a DELETE's image
+    rides in beforeColumns with afterColumns EMPTY (canal.go buildRowData)
+    — a canal consumer reading deletes from beforeColumns sees them."""
     from tiflow_spark.model import CHANGE_EVENT_SCHEMA
-    from tiflow_spark.sinks.mq import _canal_pb_parse_row, canal_pb_envelope
+    from tiflow_spark.sinks.mq import (
+        _canal_pb_parse_row, _pb_read_fields, _pb_read_uvarint,
+        canal_pb_envelope,
+    )
 
     log = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed.log_path)
     dml = log.filter(F.col("op").isin("I", "U", "D")).limit(200)
@@ -371,7 +377,14 @@ def test_canal_pb_wire_roundtrip_bytes(feed, spark):
         assert pre_payload == r["pre_payload"]
         assert tbl == (r["tbl"] or "transcripts")
         saw_pre = saw_pre or pre_payload is not None
-        saw_delete = saw_delete or (op == "D" and payload is None)
+        if r["op"] == "D":
+            # structural pin: RowData carries before (f1) only, never after
+            buf = bytes.fromhex(r["envelope"])
+            n, pos = _pb_read_uvarint(buf, 0)
+            entry = dict(_pb_read_fields(buf[pos:pos + n]))
+            groups = [fno for fno, _ in _pb_read_fields(entry.get(3, b""))]
+            assert groups and set(groups) == {1}
+            saw_delete = True
     assert saw_pre and saw_delete
 
 

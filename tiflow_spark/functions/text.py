@@ -219,7 +219,12 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    nchars = docs.select("doc_id", F.length("text").alias("nc"))
+    # greatest(.., 1): an empty-text doc would divide by zero, where Spark
+    # (non-ANSI → NULL) and DuckDB (inf/NULL by flag) disagree — the guard
+    # keeps the permille at 0 bit-identically in both engines
+    nchars = docs.select(
+        "doc_id", F.greatest(F.length("text"), F.lit(1)).alias("nc")
+    )
 
     def top_gram(n: int, out: str) -> DataFrame:
         w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
@@ -242,7 +247,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             F.floor(
                 F.lit(1000.0)
                 * F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0)))
-                / F.sum(F.col("c") * F.length("g"))
+                / F.greatest(F.sum(F.col("c") * F.length("g")), F.lit(1))
             ).cast("long").alias("dup5_permille")
         )
     )
@@ -253,28 +258,48 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def decontamination(docs: DataFrame, bench_mod: int = 7, n: int = 5) -> DataFrame:
+def decontamination(
+    docs: DataFrame,
+    bench_mod: int = 7,
+    n: int = 5,
+    bench_docs: DataFrame | None = None,
+) -> DataFrame:
     """Benchmark decontamination (the n-gram-overlap rule of GPT-3 appendix
     C / PaLM / Llama eval hygiene): flag every training document sharing at
-    least one n-token shingle with the benchmark set. The benchmark here is
-    the deterministic slice ``doc_id % bench_mod == 0``; real pipelines
-    substitute the eval-suite corpus.
+    least one n-token shingle with the benchmark set.
 
-    Scale shape: the benchmark side is eval-suite-sized (tiny vs the
-    corpus), so its distinct shingle set broadcasts; the train side is
-    explode → broadcast-hash-join → per-doc count — the 100 TB scan never
-    shuffles except the doc-keyed count aggregation."""
-    sh = docs.select("doc_id", F.explode(shingles_expr("text", n)).alias("g"))
-    bench = F.broadcast(
-        sh.filter(F.col("doc_id") % bench_mod == 0).select("g").distinct()
+    ``bench_docs``: the benchmark corpus (any DataFrame with a ``text``
+    column). When given, ``docs`` is the train corpus AS-IS and the
+    benchmark is eval-suite-sized BY CONTRACT (tiny vs the corpus), so its
+    distinct shingle set is broadcast — the 100 TB train scan never
+    shuffles except the doc-keyed count aggregation. When omitted, the
+    benchmark falls back to the deterministic split ``doc_id % bench_mod
+    == 0`` of ``docs`` itself (train = the complement); that slice is a
+    FIXED FRACTION of the corpus, not eval-suite-sized, so no broadcast
+    hint is forced — AQE broadcasts it when it measures small and degrades
+    to a shuffle join instead of OOMing when it doesn't."""
+    if bench_docs is not None:
+        train_docs = docs
+        bench = F.broadcast(
+            bench_docs.select(F.explode(shingles_expr("text", n)).alias("g"))
+            .distinct()
+        )
+    else:
+        train_docs = docs.filter(F.col("doc_id") % bench_mod != 0)
+        bench = (
+            docs.filter(F.col("doc_id") % bench_mod == 0)
+            .select(F.explode(shingles_expr("text", n)).alias("g"))
+            .distinct()
+        )
+    sh = train_docs.select(
+        "doc_id", F.explode(shingles_expr("text", n)).alias("g")
     )
     hits = (
-        sh.filter(F.col("doc_id") % bench_mod != 0)
-        .join(bench, "g")
+        sh.join(bench, "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("h"))
     )
-    train = docs.filter(F.col("doc_id") % bench_mod != 0).select("doc_id")
+    train = train_docs.select("doc_id")
     n_hits = F.coalesce(F.col("h"), F.lit(0)).cast("long")
     return train.join(hits, "doc_id", "left").select(
         "doc_id", n_hits.alias("n_hits"), (n_hits > 0).alias("contaminated")

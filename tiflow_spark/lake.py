@@ -402,7 +402,14 @@ class LakeTable:
         if os.path.exists(state_fp):
             with open(state_fp) as f:
                 state = json.load(f)
-            if state.get("plan_fp") != plan_fp:
+            if state.get("plan_fp") is None:
+                # legacy sidecar written before plans were fingerprinted:
+                # the plan cannot have been verified, but refusing would
+                # force a restart under a misleading "plan changed" message
+                # — backfill the fingerprint and resume (the caller passing
+                # the same chunk_files is the legacy-era contract)
+                state["plan_fp"] = plan_fp
+            elif state["plan_fp"] != plan_fp:
                 raise ValueError(
                     "create_resumable: chunk plan changed since the crashed "
                     "attempt (different chunk_files or input file list) — "

@@ -728,7 +728,8 @@ SELECT doc_id,
 FROM aug
 """,
     "text_repetition": """
-WITH toks AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS tk
+WITH toks AS (SELECT doc_id, greatest(length(text), 1) AS nc,
+                     string_split(text, ' ') AS tk
               FROM documents),
 g2 AS (SELECT doc_id, nc, array_to_string(tk[i:i+1], ' ') AS g
        FROM (SELECT doc_id, nc, tk,
@@ -754,7 +755,7 @@ g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
 c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
 d5 AS (SELECT doc_id,
          CAST(floor(1000.0 * sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
-                    / sum(c * length(g))) AS BIGINT) AS dup5_permille
+                    / greatest(sum(c * length(g)), 1)) AS BIGINT) AS dup5_permille
        FROM c5 GROUP BY 1)
 SELECT doc_id, top2_permille, top3_permille, dup5_permille
 FROM t2 JOIN t3 USING (doc_id) JOIN d5 USING (doc_id)

@@ -886,8 +886,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag train docs sharing any 5-token
-    shingle with the benchmark slice (doc_id % 7 == 0)."""
-    return text.decontamination(_documents(spark, sf_dir), bench_mod=7, n=5)
+    shingle with the benchmark slice (doc_id % 7 == 0). The slice is passed
+    as an explicit ``bench_docs`` (declared eval-suite-sized → broadcast);
+    a real pipeline substitutes the eval corpus here."""
+    docs = _documents(spark, sf_dir)
+    return text.decontamination(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        n=5,
+        bench_docs=docs.filter(F.col("doc_id") % 7 == 0),
+    )
 
 
 # ------------------------------------------------------------- multimodal

@@ -311,10 +311,19 @@ def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
     executeTime, eventType-enum}, isDdl, RowData{beforeColumns,
     afterColumns}} with repeated Column{index, name, value} messages — the
     exact tag/varint/length-delimited bytes protoc would emit for this
-    shape, built from JVM column expressions (no protobuf lib). Like the
-    real canal wire it carries NO seq/start_ts/schema_version — the relay
+    shape, built from JVM column expressions (no protobuf lib). Row-image
+    routing follows the reference (cdc/sink/codec/canal.go buildRowData):
+    DELETE carries the row image in beforeColumns with afterColumns empty;
+    INSERT fills afterColumns only; UPDATE carries the old value in
+    beforeColumns and the full new row in afterColumns. Like the real
+    canal wire it carries NO seq/start_ts/schema_version — the relay
     decoder synthesizes per-key order from partition offsets (maxwell
-    rule). Hex string on the file topic; a Kafka sink publishes
+    rule). DOCUMENTED DIVERGENCE: executeTime carries the raw TSO, not the
+    reference's ``commitTs >> 18`` wall-clock-ms conversion — the relay
+    needs the exact commit_ts for byte-exact replay (the >>18 projection
+    is lossy and would collapse distinct commit timestamps); a consumer
+    wanting canal's ms semantics applies ``executeTime >> 18`` itself.
+    Hex string on the file topic; a Kafka sink publishes
     ``unhex(value)``.
 
     Returns a DataFrame TRANSFORMER (df → df + 'envelope'), not a Column:
@@ -348,11 +357,32 @@ def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
             F.lit("18"), _varint_hex(F.col("commit_ts")),          # f3 executeTime
             F.lit("20"), _varint_hex(etype, septets=5),            # f4 eventType
         )
+        is_del = op == "D"
+
+        def _image(parent_tag: int):
+            # full row image as repeated Column messages under before (0x0A)
+            # or after (0x12); stable column indexes either side
+            return F.concat(
+                _col_msg(0, "conv_id", F.col("conv_id"), parent_tag),
+                _col_msg(1, "turn_idx", F.col("turn_idx").cast("string"),
+                         parent_tag),
+                _col_msg(
+                    2, "payload",
+                    F.col("pre_payload") if parent_tag == 0x0A
+                    else F.col("payload"),
+                    parent_tag,
+                ),
+            )
+
+        # DELETE: image in beforeColumns, afterColumns EMPTY (canal.go
+        # buildRowData); UPDATE: old payload in before, new row in after;
+        # INSERT: after only (pre_payload is null, so before degenerates
+        # to empty via the null-column omission)
         rowdata = F.concat(
-            _col_msg(0, "payload", F.col("pre_payload"), 0x0A),    # f1 before
-            _col_msg(0, "conv_id", F.col("conv_id"), 0x12),        # f2 after
-            _col_msg(1, "turn_idx", F.col("turn_idx").cast("string"), 0x12),
-            _col_msg(2, "payload", F.col("payload"), 0x12),
+            F.when(is_del, _image(0x0A)).otherwise(
+                _col_msg(2, "payload", F.col("pre_payload"), 0x0A)
+            ),
+            F.when(is_del, F.lit("")).otherwise(_image(0x12)),
         )
         staged = df.withColumn("_pb_hdr", header).withColumn("_pb_row", rowdata)
         staged = staged.withColumn(
@@ -438,7 +468,12 @@ def craft_envelope(database: str = "app", table: str = "transcripts"):
         )
         dict_hex = F.concat(
             _varint_hex(F.lit(5).cast("long"), septets=5),
-            _varint_hex(F.lit(len(database)).cast("long"), septets=5),
+            # term lengths are OCTET lengths (the term bytes are UTF-8): a
+            # non-ASCII database name under len() would desynchronize the
+            # whole dictionary; the fixed column-name terms below are ASCII
+            # by construction (len == octets)
+            _varint_hex(F.lit(len(database.encode("utf-8"))).cast("long"),
+                        septets=5),
             _varint_hex(F.octet_length(tbl).cast("long"), septets=5),
             _varint_hex(F.lit(7).cast("long"), septets=5),   # conv_id
             _varint_hex(F.lit(8).cast("long"), septets=5),   # turn_idx
@@ -883,7 +918,10 @@ def _pb_columns(msgs: list[bytes]) -> dict[str, str]:
 def _canal_pb_parse_row(hexstr: str) -> tuple:
     """Inverse of canal_pb_envelope: packet varint length, Entry{header,
     isDdl, RowData{before, after}} → change-event tuple (seq slot None —
-    synthesized from the partition offset, the maxwell rule)."""
+    synthesized from the partition offset, the maxwell rule). A DELETE's
+    row image lives in beforeColumns (afterColumns empty), per the
+    reference canal wire — the key comes from whichever group carries the
+    image."""
     buf = bytes.fromhex(hexstr)
     n, pos = _pb_read_uvarint(buf, 0)
     entry = dict(_pb_read_fields(buf[pos : pos + n]))
@@ -896,6 +934,12 @@ def _canal_pb_parse_row(hexstr: str) -> tuple:
         (before if fno == 1 else after).append(msg)
     a = _pb_columns(after)
     b = _pb_columns(before)
+    if op == "D":
+        if a:
+            raise ValueError("canal wire: DELETE must carry no afterColumns")
+        return (None, op, commit_ts, None, None, b.get("conv_id"),
+                int(b["turn_idx"]), None, b.get("payload"),
+                None, None, tbl)
     return (None, op, commit_ts, None, None, a.get("conv_id"),
             int(a["turn_idx"]), a.get("payload"), b.get("payload"),
             None, None, tbl)
@@ -1066,8 +1110,8 @@ RELAY_DECODERS = {
 
 def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
     """Consumer-side relay: reconstruct a replayable changefeed log from a
-    topic published with ANY of the four envelope codecs (three JSON, one
-    binary Avro-Confluent wire) — the
+    topic published with ANY of the six envelope codecs (three JSON, three
+    binary: Avro-Confluent, canal-protobuf, craft) — the
     downstream half of the reference's MQ pairing (TiCDC → Kafka →
     canal/flink consumer → table; the consumer ecosystem decodes canal wire,
     cdc/sink/codec/canal.go). Row messages become DML events, the deduped
