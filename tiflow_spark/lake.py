@@ -50,6 +50,75 @@ def bucket_expr(key_cols, num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+def _file_key_stats(path: str, key_cols) -> dict:
+    """Per-file {col: {min, max, nulls, rows}} of the key columns, read
+    from the parquet footer (row-group statistics — no data pages
+    touched). Recorded in the manifest entry at write time so a
+    partition-cut MERGE can prune files whose key ranges provably cannot
+    satisfy the cut predicate (pruning.py).
+
+    Sound by omission: a column whose footer lacks min/max in any
+    non-all-NULL row group is left out of the dict, and the pruner then
+    treats every predicate over it as possibly-matching. Parquet writers
+    that truncate long binary stats adjust the truncated max upward, so
+    recorded bounds remain valid bounds. Only JSON-native scalar types
+    are kept (the key contract is string/int here; anything exotic
+    degrades to no-stats, never to a wrong bound).
+
+    Cost: one footer read per file written, driver-side — O(files per
+    commit) ≈ max(cores, buckets), a few ms each. At thousands of files
+    per commit, harvest these executor-side in the write job instead
+    (Iceberg collects them in the writer for exactly this reason)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    schema = md.schema
+    col_idx = {
+        schema.column(i).path: i for i in range(md.num_columns)
+    }
+    out: dict[str, dict] = {}
+    for c in key_cols:
+        i = col_idx.get(c)
+        if i is None:
+            continue
+        mn = mx = None
+        nulls = rows = 0
+        usable = True
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            st = group.column(i).statistics
+            n_rows = group.num_rows
+            rows += n_rows
+            if st is None:
+                usable = False
+                break
+            n_nulls = st.null_count if st.has_null_count else None
+            if st.has_min_max:
+                lo, hi = st.min, st.max
+                ok = all(
+                    isinstance(v, (int, float, str))
+                    and not isinstance(v, bool)
+                    for v in (lo, hi)
+                )
+                if not ok:
+                    usable = False
+                    break
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+                nulls += n_nulls or 0
+            elif n_nulls == n_rows:
+                nulls += n_nulls  # all-NULL row group: bounded, no values
+            else:
+                usable = False  # values exist but no bounds
+                break
+        if usable and rows > 0:
+            out[c] = {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
+    return out
+
+
 class CommitConflict(Exception):
     """Epoch fence violation (would-be lost update or out-of-order epoch)."""
 
@@ -213,9 +282,19 @@ class LakeTable:
             bucket = int(base.split("=")[1])
             for fn in files:
                 if fn.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.path)
                     entries.append(
-                        {"path": rel, "bucket": bucket, "schema_version": schema_version}
+                        {
+                            "path": rel,
+                            "bucket": bucket,
+                            "schema_version": schema_version,
+                            # per-file key-column min/max (Iceberg
+                            # write-time metrics analogue) — lets a
+                            # partition-cut MERGE prove a file untouched
+                            # and skip its rewrite (see pruning.py)
+                            "stats": _file_key_stats(full, self.key_cols),
+                        }
                     )
         return entries
 
@@ -654,10 +733,12 @@ class LakeTable:
         ``delete_where``: the epoch carried DROP/TRUNCATE PARTITION — a SQL
         predicate over the key columns; existing rows matching it are
         dropped (cdc/entry/schema_storage.go:632-636 partition-swap
-        analogue). Every bucket is read and rewritten (a key predicate can
-        hash anywhere), a full CoW pass — acceptable for a rare DDL epoch;
-        at cluster scale this is one extra snapshot-sized write, the same
-        cost the reference pays as row-by-row partition DELETEs downstream.
+        analogue). Buckets whose files' recorded key-column min/max stats
+        prove the predicate unsatisfiable (and that carry no DML this
+        epoch) are kept verbatim — file-stats pruning, pruning.py; the
+        rest are read, filtered, and rewritten. Worst case (no stats or
+        an unanalyzable predicate) degrades to one snapshot-sized CoW
+        pass for the rare DDL epoch.
 
         ``changes`` must hold exactly one row per key: the key columns, an
         ``op`` column ('D' = delete, anything else = upsert), and the payload
@@ -694,9 +775,31 @@ class LakeTable:
         if truncate:
             keep_files, read_files = [], []  # wipe: nothing kept, nothing read
         elif delete_where is not None:
-            # partition cut: every bucket may hold matching rows — read and
-            # rewrite the whole snapshot, keep nothing as-is
-            keep_files, read_files = [], list(m["files"])
+            # partition cut: file-stats pruning (pruning.py, the Iceberg
+            # InclusiveMetricsEvaluator analogue). A bucket is kept intact
+            # only when it carries no DML this epoch AND every one of its
+            # files' key-column [min,max] ranges provably cannot satisfy
+            # the cut predicate; anything unprovable is read and rewritten.
+            # Granularity is per bucket, not per file: CoW, the per-bucket
+            # checksums, and the one-row-per-key invariant are all
+            # bucket-atomic, so a partial-bucket keep could duplicate a
+            # key or orphan a digest. Without stats (legacy manifests or
+            # an unanalyzable predicate) this degrades to the former
+            # full-snapshot pass.
+            from tiflow_spark.pruning import PrunePredicate
+
+            pred = PrunePredicate(delete_where, self.key_cols)
+            by_bucket: dict[int, list[dict]] = {}
+            for e in m["files"]:
+                by_bucket.setdefault(e["bucket"], []).append(e)
+            keep_files, read_files = [], []
+            for b, group in by_bucket.items():
+                if b not in affected_set and not any(
+                    pred.may_match(e.get("stats")) for e in group
+                ):
+                    keep_files.extend(group)
+                else:
+                    read_files.extend(group)
         else:
             keep_files = [e for e in m["files"] if e["bucket"] not in affected_set]
             read_files = [e for e in m["files"] if e["bucket"] in affected_set]
@@ -801,8 +904,9 @@ class LakeTable:
         if self.checksums:
             # read back what was just written (the digest is over the bytes
             # readers will see); kept buckets carry their digests forward —
-            # truncate/partition-cut paths rewrite everything, so keep_files
-            # is empty there and the carried set is empty with it
+            # truncate wipes everything (keep_files empty), and a
+            # partition cut keeps only whole stats-pruned buckets, whose
+            # content (and therefore digest) is unchanged by construction
             kept_buckets = {str(e["bucket"]) for e in keep_files}
             prev = m.get("checksums") or {}
             checksums = {b: prev[b] for b in kept_buckets if b in prev}
