@@ -36,6 +36,64 @@ def _some_start_ts(log_path, k=2):
     return seen[: k]
 
 
+def test_cli_sql_patterns_filters_ddl(feed, tmp_path, spark):
+    """[filter] sql-patterns end-to-end through the CLI: the matching DDL
+    (the feed's add_column note) is skipped, so the final table has no
+    ``note`` column and byte-matches the pattern-filtered oracle; the same
+    key is rejected for MQ sinks (DM-only vocabulary)."""
+    from tiflow_spark.config import load_config
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tests.helpers import assert_tables_equal
+
+    f, d = feed
+    target = str(tmp_path / "target_sqlpat")
+    cfg_path = str(tmp_path / "sqlpat.toml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{target}"
+base = "{f.base_path}"
+num-buckets = 8
+
+[filter]
+sql-patterns = ["ADD COLUMN note"]
+""")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiflow_spark", "create",
+         "--config", cfg_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    eng = ChangefeedEngine(f.log_path, LakeTable(target, num_buckets=8))
+    got = eng.final_state(spark).toPandas()
+    assert "note" not in got.columns
+    assert_tables_equal(
+        got,
+        sequential_apply(f.base_path, f.log_path,
+                         sql_patterns=["ADD COLUMN note"]),
+    )
+
+    # MQ sinks publish every DDL — sql-patterns there is a config error
+    bad = str(tmp_path / "sqlpat_mq.toml")
+    with open(bad, "w") as fh:
+        fh.write(f"""
+log = "{f.log_path}"
+target = "{tmp_path / 'mq_topic'}"
+
+[filter]
+sql-patterns = ["x"]
+
+[sink]
+type = "mq"
+""")
+    with pytest.raises(ValueError, match="sql-patterns"):
+        load_config(bad)
+
+
 def test_cli_create_query_and_filtered_oracle(feed, tmp_path, spark):
     from tiflow_spark.engine import ChangefeedEngine
     from tiflow_spark.lake import LakeTable

@@ -134,6 +134,94 @@ def test_unreplicable_ddl_skipped_in_replay(spark, tmp_path):
     assert "note" in got.columns and got["note"].tolist() == ["n"]
 
 
+def test_sql_pattern_filter_library(spark):
+    """SQL-pattern statement filter (dm/syncer/filter.go:95-110): DDL rows
+    whose canonical statement (or recorded ``query``) matches a configured
+    case-insensitive regex are dropped; DML rows always pass; a NULL ddl
+    column keeps the row (drop_matching)."""
+    import json
+
+    from tiflow_spark.operators.filters import (
+        render_ddl_sql, sql_pattern_filter, sql_pattern_skip,
+    )
+
+    rows = [
+        ("DDL", json.dumps({"action": "add_column", "name": "secret",
+                            "type": "string"}), None),
+        ("DDL", json.dumps({"action": "add_column", "name": "note",
+                            "type": "string"}), None),
+        ("DDL", json.dumps({"action": "truncate_table"}), "audit"),
+        ("DDL", json.dumps({"action": "drop_column", "name": "x",
+                            "query": "ALTER TABLE t DROP COLUMN x /*raw*/"}),
+         None),
+        ("U", None, None),
+    ]
+    df = spark.createDataFrame(rows, "op string, ddl string, tbl string")
+
+    got = sql_pattern_filter(df, ["add column SECRET"]).collect()
+    assert len(got) == 4  # only the secret add_column dropped (case-insens.)
+    got = sql_pattern_filter(df, ["^TRUNCATE TABLE audit$"]).collect()
+    assert len(got) == 4  # tbl column feeds the rendered statement
+    got = sql_pattern_filter(df, [r"/\*raw\*/"]).collect()
+    assert len(got) == 4  # the dict's own query field matches
+    got = sql_pattern_filter(df, ["nomatch"]).collect()
+    assert len(got) == 5  # DML row always kept, NULL-evaluating rows kept
+
+    # Python twin renders identically and matches the same statements
+    d = {"action": "add_column", "name": "secret", "type": "string"}
+    assert render_ddl_sql(d) == "ALTER TABLE transcripts ADD COLUMN secret string"
+    assert sql_pattern_skip(d, ["add column SECRET"])
+    assert not sql_pattern_skip(d, ["nomatch"])
+    assert sql_pattern_skip({"action": "truncate_table"},
+                            ["^TRUNCATE TABLE audit$"], table="audit")
+
+
+def test_sql_pattern_filter_replay_matches_filtered_oracle(spark, tmp_path):
+    """DM sql-pattern end-to-end (mirrors the F2/F3/F5 replay pattern): a
+    replay configured to skip 'ADD COLUMN secret' must byte-match the
+    sequential oracle under the SAME skip — the matching DDL never lands
+    (no column), later DDLs and all DML still apply."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+
+    from tests.helpers import assert_tables_equal, ev, pl, write_feed
+
+    base = [("c1", 0, "user", "hello", None, "2024-01-01T00:00:00")]
+    events = [
+        ev(0, "U", 101, "c1", 0, pl("v2")),
+        ev(1, "DDL", 102, ddl={"action": "add_column", "name": "secret",
+                               "type": "string", "default": "s"}),
+        ev(2, "DDL", 103, ddl={"action": "add_column", "name": "note",
+                               "type": "string", "default": "d"}),
+        # event written under the full (secret+note) schema: the filtered
+        # replay must decode it under ITS registry (no secret column)
+        ev(3, "U", 104, "c1", 0, pl("v3", secret="x", note="n"), ver=None),
+    ]
+    base_fp, log_dir = write_feed(tmp_path, events, base)
+    pats = ["ADD COLUMN secret"]
+    eng = ChangefeedEngine(
+        log_dir, LakeTable(str(tmp_path / "t"), num_buckets=2),
+        sql_patterns=pats,
+    )
+    eng.bootstrap(spark, base_fp)
+    stats = eng.run(spark)
+    assert stats.epochs[-1].ddl_events == 1  # secret skipped, note applied
+    got = eng.final_state(spark).toPandas()
+    assert "secret" not in got.columns and "note" in got.columns
+    assert_tables_equal(
+        got, sequential_apply(base_fp, log_dir, sql_patterns=pats)
+    )
+    # and WITHOUT the filter the same feed lands both columns
+    eng2 = ChangefeedEngine(log_dir, LakeTable(str(tmp_path / "t2"),
+                                               num_buckets=2))
+    eng2.bootstrap(spark, base_fp)
+    eng2.run(spark)
+    got2 = eng2.final_state(spark).toPandas()
+    assert "secret" in got2.columns
+    assert_tables_equal(got2, sequential_apply(base_fp, log_dir))
+
+
 def test_quality_scores_gate(spark):
     docs = spark.createDataFrame(
         [

@@ -22,6 +22,7 @@ Example::
     [filter]
     ignore-txn-start-ts = [1, 2]
     event-filter = "turn_idx < 0"          # drop DML rows matching
+    sql-patterns = ["ADD COLUMN secret"]   # skip DDLs whose statement matches
 
     [[routes]]                             # presence => multi-table mode
     source = "shard_*"
@@ -59,6 +60,11 @@ class ChangefeedConfig:
     bootstrap_chunk_files: int | None = None  # resumable dump restore (S5)
     ignore_txn_start_ts: list[int] = field(default_factory=list)
     event_filter: str | None = None
+    # DM sql-pattern statement filter (dm/syncer/filter.go:95-110): DDLs
+    # whose canonical statement text matches any of these case-insensitive
+    # regexes are skipped on the apply path (lake sinks only — the MQ sink
+    # is TiCDC-side, which has no sql-pattern vocabulary)
+    sql_patterns: list[str] = field(default_factory=list)
     routes: list[RouteRule] = field(default_factory=list)
     stream_checkpoint: str | None = None  # Spark streaming checkpoint dir
     max_files_per_trigger: int | None = None  # FC1 flow-control quota
@@ -94,9 +100,16 @@ def load_config(path: str) -> ChangefeedConfig:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
 
     filt = raw.get("filter", {})
-    f_unknown = set(filt) - {"ignore-txn-start-ts", "event-filter"}
+    f_unknown = set(filt) - {"ignore-txn-start-ts", "event-filter",
+                             "sql-patterns"}
     if f_unknown:
         raise ValueError(f"unknown [filter] keys: {sorted(f_unknown)}")
+    sql_patterns = [str(p) for p in filt.get("sql-patterns", [])]
+    if sql_patterns and raw.get("sink", {}).get("type") == "mq":
+        raise ValueError(
+            "[filter] sql-patterns applies to the lake apply path only "
+            "(DM syncer vocabulary); the MQ sink publishes every DDL"
+        )
 
     sink = raw.get("sink", {})
     s_unknown = set(sink) - {"type", "partitions", "protocol"}
@@ -133,6 +146,7 @@ def load_config(path: str) -> ChangefeedConfig:
         bootstrap_chunk_files=raw.get("bootstrap-chunk-files") or None,
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
+        sql_patterns=sql_patterns,
         routes=routes,
         stream_checkpoint=raw.get("stream-checkpoint"),
         max_files_per_trigger=raw.get("max-files-per-trigger") or None,
@@ -171,6 +185,7 @@ def build_engine(cfg: ChangefeedConfig):
             event_filter=cfg.event_filter,
             validate_after_apply=cfg.validate_state,
             validate_rows=cfg.validate_rows,
+            sql_patterns=cfg.sql_patterns,
         )
     tables = {
         r.target: LakeTable(
@@ -187,4 +202,5 @@ def build_engine(cfg: ChangefeedConfig):
         ignore_txn_start_ts=cfg.ignore_txn_start_ts,
         event_filter=cfg.event_filter,
         validate_rows=cfg.validate_rows,
+        sql_patterns=cfg.sql_patterns,
     )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from tiflow_spark.lake import BUCKET_COL, LakeTable, bucket_expr
 from tiflow_spark.model import (
     CHANGE_EVENT_SCHEMA,
+    DEFAULT_TABLE,
     DML_OPS,
     KEY_COLS,
     OP_DDL,
@@ -47,6 +48,7 @@ from tiflow_spark.operators.compactor import compact_changes
 from tiflow_spark.operators.filters import (
     REPLICABLE_DDL_ACTIONS,
     engine_event_filters,
+    sql_pattern_skip,
 )
 from tiflow_spark.operators.watermark import watermark_cut
 from tiflow_spark.registry import SchemaRegistry
@@ -227,13 +229,21 @@ def schema_version_expr(registry: SchemaRegistry):
     """Vectorized as-of version resolution (J1): the registry is tiny, so the
     binary search (cdc/entry/schema_storage.go:767-774) compiles to a chained
     CASE WHEN on ``commit_ts - 1`` — constant-folded per row, no join at all.
-    Falls back to the event's own schema_version when present."""
+    Falls back to the event's own schema_version when present AND known to
+    THIS registry: a version the registry never saw (its DDL was
+    sql-pattern-filtered, so the downstream schema never evolved) resolves
+    by the as-of rule instead — the closest schema the downstream actually
+    has, exactly DM's skipped-statement behavior."""
     asof = F.lit(registry.versions[0].version)
     for v in registry.versions[1:]:
         asof = F.when(
             F.col("commit_ts") - 1 >= F.lit(v.active_from_ts), F.lit(v.version)
         ).otherwise(asof)
-    return F.coalesce(F.col("schema_version"), asof)
+    known = [v.version for v in registry.versions]
+    return F.coalesce(
+        F.when(F.col("schema_version").isin(known), F.col("schema_version")),
+        asof,
+    )
 
 
 def decode_events(
@@ -334,11 +344,18 @@ class ChangefeedEngine:
         event_filter: str | None = None,
         validate_after_apply: bool = False,
         validate_rows: bool = False,
+        sql_patterns: list[str] | None = None,
     ):
         self.log_path = log_path
         self.table = table
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
+        # DM sql-pattern statement filter (dm/syncer/filter.go:95-110):
+        # DDLs whose canonical statement text matches any of these
+        # case-insensitive regexes are skipped on the driver-side DDL path
+        # (never applied to the registry or the table), like any other
+        # unreplicable DDL
+        self.sql_patterns = list(sql_patterns or [])
         # row-compare half of the continuous validator: after each commit,
         # re-read the touched buckets and compare every applied key's row
         # against the fold's expected post-image (upsert present+equal,
@@ -561,6 +578,12 @@ class ChangefeedEngine:
             d = json.loads(r["ddl"])
             if d.get("action") not in REPLICABLE_DDL_ACTIONS:
                 continue  # F2: unreplicable DDL types are skipped, not fatal
+            if self.sql_patterns and sql_pattern_skip(
+                d, self.sql_patterns,
+                table=(r["tbl"] if "tbl" in getattr(r, "__fields__", ())
+                       else None) or DEFAULT_TABLE,
+            ):
+                continue  # DM sql-pattern filter: statement-text skip
             registry.apply_ddl(d, r["commit_ts"])
             if d["action"] == "truncate_table":
                 # only the LAST truncate matters: everything at/before it is
@@ -792,6 +815,7 @@ class MultiTableEngine:
         ignore_txn_start_ts: list[int] | None = None,
         event_filter: str | None = None,
         validate_rows: bool = False,
+        sql_patterns: list[str] | None = None,
     ):
         from tiflow_spark.model import DEFAULT_TABLE
 
@@ -802,6 +826,7 @@ class MultiTableEngine:
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
         self.validate_rows = validate_rows
+        self.sql_patterns = list(sql_patterns or [])
         unknown = {tgt for _, tgt in self.rules} - set(self.tables)
         if unknown:
             raise ValueError(f"route rules target unknown tables: {sorted(unknown)}")
@@ -944,6 +969,7 @@ class MultiTableEngine:
                     ignore_txn_start_ts=self.ignore_txn_start_ts,
                     event_filter=self.event_filter,
                     validate_rows=self.validate_rows,
+                    sql_patterns=self.sql_patterns,
                 )
                 st = sub.apply_slice(
                     spark, sliced, m, barrier, ddl_rows=ddl_rows,

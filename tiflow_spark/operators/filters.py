@@ -141,6 +141,106 @@ def ddl_type_filter(
     )
 
 
+def render_ddl_sql(ddl: dict, table: str = "transcripts") -> str:
+    """Canonical SQL statement text for a structured DDL dict — what the
+    reference's sql-pattern filter matches against (dm/syncer/filter.go:
+    95-110 ``skipSQLByPattern`` operates on the binlog's query string; this
+    log carries structured DDL dicts, so the filter matches the dict's own
+    ``query`` field when the producer recorded the original statement, else
+    this canonical rendering). Must stay byte-identical with the Column
+    rendering in ``sql_pattern_filter``."""
+    if ddl.get("query"):
+        return str(ddl["query"])
+    a = ddl.get("action", "")
+    t = ddl.get("table") or table
+    if a == "add_column":
+        return f"ALTER TABLE {t} ADD COLUMN {ddl.get('name')} {ddl.get('type', 'string')}"
+    if a == "drop_column":
+        return f"ALTER TABLE {t} DROP COLUMN {ddl.get('name')}"
+    if a == "rename_column":
+        return f"ALTER TABLE {t} RENAME COLUMN {ddl.get('name')} TO {ddl.get('new_name')}"
+    if a == "modify_column":
+        return f"ALTER TABLE {t} MODIFY COLUMN {ddl.get('name')} {ddl.get('type', 'string')}"
+    if a == "truncate_table":
+        return f"TRUNCATE TABLE {t}"
+    if a == "add_partition":
+        return f"ALTER TABLE {t} ADD PARTITION ({ddl.get('where', '')})"
+    if a == "drop_partition":
+        return f"ALTER TABLE {t} DROP PARTITION ({ddl.get('where', '')})"
+    if a == "truncate_partition":
+        return f"ALTER TABLE {t} TRUNCATE PARTITION ({ddl.get('where', '')})"
+    return f"{a.upper().replace('_', ' ')} {t}"
+
+
+def sql_pattern_skip(ddl: dict, patterns: list[str] | None,
+                     table: str = "transcripts") -> bool:
+    """Driver-side twin of ``sql_pattern_filter`` for the engine's DDL loop
+    (the DDL stream is control-plane-sized and routed on the driver):
+    True when the statement's canonical text matches ANY configured
+    case-insensitive regex — the DDL is skipped, not applied
+    (dm/syncer/filter.go:95-110)."""
+    import re
+
+    if not patterns:
+        return False
+    stmt = render_ddl_sql(ddl, table)
+    return any(re.search(p, stmt, re.IGNORECASE) for p in patterns)
+
+
+def sql_pattern_filter(df: DataFrame, patterns: list[str],
+                       default_table: str = "transcripts") -> DataFrame:
+    """SQL-pattern statement filter (dm/syncer/filter.go:95-110
+    ``skipSQLByPattern``): drop DDL rows whose statement text matches any
+    configured case-insensitive regex; non-DDL rows pass untouched and a
+    NULL-evaluating statement keeps the row (drop_matching). The statement
+    is the ddl JSON's ``query`` field when present, else the canonical
+    rendering (same text as ``render_ddl_sql``) — built from
+    ``get_json_object`` projections, so the predicate stays JVM-side."""
+    if not patterns:
+        return df
+
+    def g(f):
+        return F.get_json_object("ddl", f"$.{f}")
+
+    t = F.coalesce(g("table"), F.col("tbl") if "tbl" in df.columns else F.lit(None),
+                   F.lit(default_table))
+    name, new_name, where = g("name"), g("new_name"), g("where")
+    typ = F.coalesce(g("type"), F.lit("string"))
+    action = g("action")
+    stmt = (
+        F.when(action == "add_column",
+               F.concat_ws(" ", F.lit("ALTER TABLE"), t,
+                           F.lit("ADD COLUMN"), name, typ))
+        .when(action == "drop_column",
+              F.concat_ws(" ", F.lit("ALTER TABLE"), t,
+                          F.lit("DROP COLUMN"), name))
+        .when(action == "rename_column",
+              F.concat_ws(" ", F.lit("ALTER TABLE"), t,
+                          F.lit("RENAME COLUMN"), name, F.lit("TO"), new_name))
+        .when(action == "modify_column",
+              F.concat_ws(" ", F.lit("ALTER TABLE"), t,
+                          F.lit("MODIFY COLUMN"), name, typ))
+        .when(action == "truncate_table",
+              F.concat_ws(" ", F.lit("TRUNCATE TABLE"), t))
+        .when(action == "add_partition",
+              F.concat(F.lit("ALTER TABLE "), t, F.lit(" ADD PARTITION ("),
+                       F.coalesce(where, F.lit("")), F.lit(")")))
+        .when(action == "drop_partition",
+              F.concat(F.lit("ALTER TABLE "), t, F.lit(" DROP PARTITION ("),
+                       F.coalesce(where, F.lit("")), F.lit(")")))
+        .when(action == "truncate_partition",
+              F.concat(F.lit("ALTER TABLE "), t,
+                       F.lit(" TRUNCATE PARTITION ("),
+                       F.coalesce(where, F.lit("")), F.lit(")")))
+        .otherwise(F.concat_ws(" ", F.upper(F.regexp_replace(action, "_", " ")), t))
+    )
+    stmt = F.coalesce(g("query"), stmt)
+    pred: Column = F.lit(False)
+    for p in patterns:
+        pred = pred | stmt.rlike(f"(?i){p}")
+    return drop_matching(df, (F.col("op") == "DDL") & pred)
+
+
 def cyclic_mark_filter(
     df: DataFrame,
     marks: DataFrame,

@@ -18,7 +18,10 @@ from datetime import datetime
 import pandas as pd
 import pyarrow.parquet as pq
 
-from tiflow_spark.operators.filters import REPLICABLE_DDL_ACTIONS
+from tiflow_spark.operators.filters import (
+    REPLICABLE_DDL_ACTIONS,
+    sql_pattern_skip,
+)
 from tiflow_spark.registry import SchemaRegistry
 
 _OP_RANK = {"D": 0, "I": 1, "U": 1}
@@ -94,6 +97,7 @@ def sequential_apply(
     source_tables: set[str] | None = None,
     default_table: str = "transcripts",
     ignore_txn_start_ts: set[int] | None = None,
+    sql_patterns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Replay the log onto the base snapshot; return the final table.
 
@@ -135,6 +139,10 @@ def sequential_apply(
                 continue
         if op == "DDL":
             d = json.loads(ev["ddl"])
+            if sql_patterns and sql_pattern_skip(
+                d, sql_patterns, table=ev.get("tbl") or default_table
+            ):
+                continue  # DM sql-pattern statement filter (engine twin)
             if d.get("action") in REPLICABLE_DDL_ACTIONS:  # F2 allowlist
                 registry.apply_ddl(d, cts)
                 if d["action"] == "truncate_table":
@@ -152,10 +160,14 @@ def sequential_apply(
         if op == "D":
             state.pop(key, None)
             continue
-        # I/U → full-row upsert (safe-mode REPLACE semantics)
+        # I/U → full-row upsert (safe-mode REPLACE semantics). A
+        # schema_version this registry never saw (its DDL was
+        # sql-pattern-filtered) resolves by the as-of rule — the engine's
+        # schema_version_expr twin
+        known = {v.version for v in registry.versions}
         ver = (
             registry.get(ev["schema_version"])
-            if ev["schema_version"] is not None
+            if ev["schema_version"] in known
             else registry.version_asof(cts)
         )
         payload = json.loads(ev["payload"])

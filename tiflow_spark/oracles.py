@@ -364,6 +364,21 @@ WHERE NOT COALESCE((op = 'I' AND value < 0.1)
         OR (op = 'D' AND start_ts < 2000), FALSE)
 GROUP BY op
 """,
+    "cdc_sql_pattern_filter": f"""
+WITH feed AS ({_FEED}),
+ddl AS (
+  SELECT CASE WHEN op = 'I' THEN 'DDL' ELSE op END AS op, event_id,
+         CASE WHEN op = 'I' THEN 'ALTER TABLE transcripts ADD COLUMN col_'
+              || CAST(event_id % 7 AS VARCHAR) || ' string' END AS stmt
+  FROM feed
+)
+SELECT op, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM ddl
+WHERE NOT COALESCE(op = 'DDL'
+        AND (regexp_matches(stmt, 'add column COL_[0-2]', 'i')
+          OR regexp_matches(stmt, '^TRUNCATE TABLE', 'i')), FALSE)
+GROUP BY op
+""",
     "cdc_txn_group": f"""
 WITH feed AS ({_FEED})
 SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS txn_day,

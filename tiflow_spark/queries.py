@@ -186,6 +186,39 @@ def cdc_expr_filter_per_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_sql_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM sql-pattern statement filter (dm/syncer/filter.go:95-110
+    ``skipSQLByPattern``) as a driver query: reinterpret signup events as
+    DDL rows carrying a structured add_column DDL (name =
+    ``col_<event_id mod 7>``), render the canonical statement text, and
+    drop statements matching any configured case-insensitive regex —
+    non-DDL rows and NULL-evaluating statements always pass
+    (drop_matching NULL-keep). Entirely Catalyst predicates: the statement
+    render is ``get_json_object`` + ``concat_ws``, the match is ``rlike``."""
+    from tiflow_spark.operators.filters import sql_pattern_filter
+
+    feed = events_as_changefeed(spark, sf_dir)
+    feed = feed.withColumn(
+        "ddl",
+        F.when(
+            F.col("op") == "I",
+            F.concat(
+                F.lit('{"action":"add_column","name":"col_'),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit('","type":"string"}'),
+            ),
+        ),
+    ).withColumn(
+        "op", F.when(F.col("ddl").isNotNull(), "DDL").otherwise(F.col("op"))
+    )
+    kept = sql_pattern_filter(
+        feed, ["add column COL_[0-2]", "^TRUNCATE TABLE"]
+    )
+    return kept.groupBy("op").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_event_id")
+    )
+
+
 def cdc_txn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Txn grouping (A2): rows grouped into per-(key, day) transactions with
     integer-exact value sums (milli-units, so any agg order is bit-equal)."""
@@ -945,6 +978,7 @@ QUERIES = {
     "cdc_partition_frontier": cdc_partition_frontier,
     "cdc_filter_rules": cdc_filter_rules,
     "cdc_expr_filter_per_op": cdc_expr_filter_per_op,
+    "cdc_sql_pattern_filter": cdc_sql_pattern_filter,
     "cdc_txn_group": cdc_txn_group,
     "cdc_salted_dispatch": cdc_salted_dispatch,
     "cdc_schema_asof": cdc_schema_asof,
