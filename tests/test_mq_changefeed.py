@@ -349,6 +349,110 @@ def test_avro_wire_roundtrip_bytes(feed, spark):
         _avro_parse_row("01" + "00000001" + "00")
 
 
+def test_avro_schema_registry_versioning(tmp_path, spark):
+    """Schema-registry-versioned avro (cdc/sink/codec/schema_registry.go:
+    119-131, 274-299 + avro.go): a mid-stream ADD COLUMN registers a NEW
+    writer schema in the topic manifest; pre-DDL messages carry the old
+    schema id on the Confluent header and post-DDL messages the new one;
+    the relay decodes each message under ITS OWN writer schema (the new
+    field only exists post-DDL); and replaying the relayed log byte-matches
+    the sequential oracle."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tiflow_spark.sinks.mq import (
+        FileMQSink, MQChangefeed, _decode_avro, topic_to_log,
+    )
+    from tests.helpers import assert_tables_equal, ev, pl, write_feed
+
+    ddl = {"action": "add_column", "name": "note", "type": "string",
+           "default": ""}
+    events = [
+        ev(0, "I", 100, "c1", 0, pl("pre-ddl")),
+        ev(1, "R", 150),
+        ev(2, "DDL", 200, ddl=ddl),
+        ev(3, "I", 250, "c2", 0, pl("post-ddl", note="hello"), ver=2),
+        ev(4, "U", 260, "c1", 0, pl("pre2")),  # NULL ver → as-of resolves v2
+        ev(5, "R", 300),
+    ]
+    events[4]["schema_version"] = None
+    base_fp, log_dir = write_feed(tmp_path, events, [], final_resolved=False)
+    sink = FileMQSink(str(tmp_path / "topic"), n_partitions=2)
+    epochs = MQChangefeed(log_dir, sink, protocol="avro").run(
+        spark, barrier_stride=1
+    )
+    assert [e["barrier_ts"] for e in epochs] == [150, 300]
+
+    # the manifest IS the registry: both versions registered, distinct ids,
+    # and version 2's writer schema carries the added column
+    state = sink.topic_state()
+    assert state["avro_ids"] == {"1": 1, "2": 2}
+    assert set(state["avro_schemas"]) == {"1", "2"}
+    row_v2 = next(
+        f for f in json.loads(state["avro_schemas"]["2"])["fields"]
+        if f["name"] == "payload"
+    )["type"][1]
+    assert [f["name"] for f in row_v2["fields"]] == [
+        "role", "text", "tool", "ts", "note"]
+    reg = json.loads(state["registry_json"])
+    assert [v["version"] for v in reg] == [1, 2]
+
+    # wire headers: pre-DDL message under id 1, post-DDL under id 2
+    rows = sink.read_topic(spark).filter(F.col("kind") == "row").collect()
+    ids = {bytes.fromhex(r["value"])[1:5].hex(): r["value"] for r in rows}
+    by_id = {int(k, 16): v for k, v in ids.items()}
+    assert set(by_id) == {1, 2}
+
+    # each message decodes under its own writer schema: the note field only
+    # exists in post-DDL payloads
+    decoded = {
+        r["commit_ts"]: r
+        for r in _decode_avro(
+            sink.read_topic(spark).filter(F.col("kind") == "row"), state
+        ).collect()
+    }
+    assert "note" not in json.loads(decoded[100]["payload"])
+    assert json.loads(decoded[250]["payload"])["note"] == "hello"
+    assert decoded[100]["schema_version"] == 1
+    assert decoded[250]["schema_version"] == 2
+    assert decoded[260]["schema_version"] == 2  # id → version recovered
+
+    # relay → replay byte-matches the sequential oracle across the DDL
+    log2 = topic_to_log(spark, sink, str(tmp_path / "relay_log"))
+    eng = ChangefeedEngine(log2, LakeTable(str(tmp_path / "t"), num_buckets=4))
+    eng.bootstrap(spark, base_fp)
+    eng.run(spark)
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(), sequential_apply(base_fp, log_dir)
+    )
+
+    # resume restores the registry from the manifest: nothing new → no-op,
+    # registry state untouched
+    assert MQChangefeed(log_dir, sink, protocol="avro").run(spark) == []
+    assert sink.topic_state()["avro_ids"] == {"1": 1, "2": 2}
+
+
+def test_avro_registry_dedupes_identical_schemas():
+    """Field-identical registry versions (truncate/partition bumps) register
+    the SAME schema id — Confluent semantics: registering an identical
+    canonical schema returns the existing id."""
+    from tiflow_spark.registry import SchemaRegistry
+    from tiflow_spark.sinks.mq import register_avro_schemas
+
+    reg = SchemaRegistry.initial()
+    reg.apply_ddl({"action": "truncate_table"}, 500)  # fields unchanged
+    reg.apply_ddl({"action": "add_column", "name": "x", "type": "int"}, 900)
+    ids: dict = {}
+    schemas: dict = {}
+    register_avro_schemas(reg, ids, schemas)
+    assert ids == {"1": 1, "2": 1, "3": 2}
+    assert set(schemas) == {"1", "2"}
+    # integral columns are typed long on the wire, annotated with sparkType
+    x = next(f for f in json.loads(schemas["2"])["fields"]
+             if f["name"] == "payload")["type"][1]["fields"][-1]
+    assert x == {"name": "x", "type": ["null", "long"], "sparkType": "int"}
+
+
 def test_canal_pb_wire_roundtrip_bytes(feed, spark):
     """Canal protobuf wire: JVM staged encode → Python TLV decode recovers
     header fields, before/after column images, and null-column omission;

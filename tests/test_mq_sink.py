@@ -73,3 +73,50 @@ def test_mq_dispatch_matches_offsets_tail(spark, tmp_path):
     n_msgs = sink.read_topic(spark).count()
     # tail offsets == total messages (rows + one checkpoint per partition)
     assert sum(state["offsets"].values()) == n_msgs == 10 + 2
+
+
+def test_mq_dense_partitions_beyond_cores(spark, tmp_path):
+    """Partition count is the MQ parallelism unit (the documented scale
+    knob): publishing with n_partitions=64 — far above the local core count
+    — keeps per-partition offsets dense from 0, broadcasts the checkpoint
+    to all 64 partitions, and the relayed topic still byte-matches the
+    sequential oracle end to end."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.generator import generate_changefeed
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tiflow_spark.sinks.mq import MQChangefeed, topic_to_log
+    from tests.helpers import assert_tables_equal
+
+    feed = generate_changefeed(
+        str(tmp_path / "feed64"), n_convs=80, turns_per_conv=4,
+        n_changes=3000, seed=9, resolved_every=1500,
+    )
+    sink = FileMQSink(str(tmp_path / "topic64"), n_partitions=64)
+    epochs = MQChangefeed(feed.log_path, sink).run(spark)
+    assert epochs and epochs[-1]["barrier_ts"] == feed.max_commit_ts
+
+    state = sink.topic_state()
+    agg = (
+        sink.read_topic(spark)
+        .withColumn("partition", F.regexp_extract(
+            F.input_file_name(), r"partition=(\d+)", 1).cast("int"))
+        .groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("mn"),
+             F.max("offset").alias("mx"))
+        .collect()
+    )
+    assert {r["partition"] for r in agg} == set(range(64))  # ckpt broadcast
+    for r in agg:
+        # dense: offsets are exactly 0..n-1 and the manifest tail agrees
+        assert (r["mn"], r["mx"]) == (0, r["n"] - 1), r
+        assert state["offsets"][str(r["partition"])] == r["n"]
+
+    log2 = topic_to_log(spark, sink, str(tmp_path / "relay64"))
+    eng = ChangefeedEngine(log2, LakeTable(str(tmp_path / "t64"), num_buckets=8))
+    eng.bootstrap(spark, feed.base_path)
+    eng.run(spark)
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(),
+        sequential_apply(feed.base_path, feed.log_path),
+    )

@@ -42,6 +42,11 @@ from tiflow_spark.functions.hashing import md5_bucket
 from tiflow_spark.model import event_order_cols
 
 
+# topic-manifest keys that persist across epochs even when a later epoch's
+# write doesn't re-supply them (the avro schema-registry store)
+_PERSISTED_EXTRAS = ("registry_json", "avro_ids", "avro_schemas")
+
+
 def mq_dispatch(df: DataFrame, key_cols, n_partitions: int) -> DataFrame:
     """Index-value partition dispatch: same key → same partition, portable
     md5 hash (the DuckDB oracle recomputes it bit-exactly)."""
@@ -84,6 +89,7 @@ class FileMQSink:
         ddl_rows: list | None = None,
         protocol: str | None = None,
         barrier_seq: int | None = None,
+        extra_state: dict | None = None,
     ) -> bool:
         """Append one epoch's events (already cut to the barrier) as an
         offset-ordered segment + per-partition checkpoint messages.
@@ -151,6 +157,13 @@ class FileMQSink:
         # record the codec so consumers (topic_to_log) can refuse topics
         # they cannot decode instead of silently producing NULL events
         state_out["protocol"] = protocol or state.get("protocol")
+        # schema-registry state (avro) and any other durable sidecar keys
+        # survive epochs that don't update them
+        for k in _PERSISTED_EXTRAS:
+            if k in state:
+                state_out[k] = state[k]
+        if extra_state:
+            state_out.update(extra_state)
         # seq of the resolved-ts promise backing this barrier: the next
         # publish run validates the contract with this as seq_floor, so the
         # scan prunes everything an earlier run already validated instead of
@@ -302,6 +315,181 @@ def avro_envelope(schema_id: int = AVRO_ROW_SCHEMA_ID) -> "F.Column":
         F.lower(F.lpad(F.hex(F.lit(schema_id)), 8, "0")),
         body,
     )
+
+
+# Spark integral types ride as Avro long on the versioned wire; strings as
+# Avro string; anything else (double/boolean/timestamp/...) rides as its raw
+# JSON lexeme in a string field annotated with the original sparkType so the
+# relay can splice it back verbatim.
+_AVRO_INTEGRAL_TYPES = frozenset(
+    {"int", "integer", "bigint", "long", "smallint", "tinyint"}
+)
+
+
+def avro_schema_json(fields) -> str:
+    """Canonical Avro writer-schema JSON for one registry version's payload
+    fields (cdc/sink/codec/avro.go ColumnToAvroSchema analogue): the change
+    envelope plus ``payload``/``pre_payload`` as a typed nested record —
+    integral Spark types as Avro long, everything else as string with a
+    ``sparkType`` annotation. Canonical (key-order-stable, no whitespace) so
+    identical field sets hash to the identical schema string — the registry
+    dedupes those to one id exactly like Confluent's registry does."""
+
+    def ftype(t: str) -> str:
+        return "long" if t in _AVRO_INTEGRAL_TYPES else "string"
+
+    row_fields = [
+        {"name": f.name, "type": ["null", ftype(f.type)], "sparkType": f.type}
+        for f in fields
+    ]
+    schema = {
+        "type": "record",
+        "name": "RowChange",
+        "fields": [
+            {"name": "seq", "type": "long"},
+            {"name": "op", "type": "string"},
+            {"name": "commit_ts", "type": "long"},
+            {"name": "start_ts", "type": ["null", "long"]},
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "long"},
+            {"name": "payload",
+             "type": ["null", {"type": "record", "name": "Row",
+                               "fields": row_fields}]},
+            {"name": "pre_payload", "type": ["null", "Row"]},
+            {"name": "tbl", "type": ["null", "string"]},
+        ],
+    }
+    return json.dumps(schema, separators=(",", ":"))
+
+
+def register_avro_schemas(registry, avro_ids: dict, avro_schemas: dict) -> None:
+    """Register every registry version's writer schema, Confluent-style
+    (cdc/sink/codec/schema_registry.go:119-131 Register): an unseen canonical
+    schema gets ``max(id)+1``; re-registering an identical schema returns the
+    existing id (so field-identical versions — truncate/partition bumps —
+    share one id). Mutates ``avro_ids`` (version → id) and ``avro_schemas``
+    (id → schema JSON) in place; both persist in the topic manifest, which IS
+    our registry store (consumers fetch the writer schema by wire id from it,
+    schema_registry.go:274-299 Lookup)."""
+    by_schema = {s: int(i) for i, s in avro_schemas.items()}
+    for v in registry.versions:
+        if str(v.version) in avro_ids or v.version in avro_ids:
+            continue
+        schema = avro_schema_json(v.fields)
+        sid = by_schema.get(schema)
+        if sid is None:
+            sid = max((int(i) for i in avro_schemas), default=0) + 1
+            avro_schemas[str(sid)] = schema
+            by_schema[schema] = sid
+        avro_ids[str(v.version)] = sid
+
+
+def avro_envelope_versioned(registry, id_by_version: dict):
+    """Schema-registry-versioned Avro wire (cdc/sink/codec/avro.go:75,119,184
+    + schema_registry.go:119-131): each event is encoded under the writer
+    schema of its RESOLVED registry version — the Confluent header carries
+    that version's registered schema id, and ``payload``/``pre_payload`` are
+    that version's typed nested Avro record (integral fields as zigzag-varint
+    longs, the rest as varint-length strings) instead of one frozen
+    JSON-string schema. No explicit schema_version field rides the wire: the
+    schema id IS the version pointer, exactly the reference's contract (a
+    consumer fetches the writer schema by id); the relay decoder recovers the
+    version from the manifest's id map when unambiguous and otherwise falls
+    back to the as-of rule like the maxwell/canal wires.
+
+    Returns a DataFrame transformer (df → df + 'envelope'). Codegen-size
+    discipline: the version-INDEPENDENT envelope prefix (seq..turn_idx) and
+    suffix (tbl) are built once, and each DISTINCT payload-field encoder
+    (name × avro-kind, over payload and pre_payload) is staged as ONE named
+    column shared by every version branch — a field live in k versions is
+    referenced k times but its varint/get_json_object tree exists once
+    (multi-referenced non-cheap projections are not re-inlined), so the
+    per-version branches are cheap concats of column refs — expression
+    volume is O(envelope + distinct fields), not O(versions × wire). The
+    FUSED whole-stage method can still exceed Janino's 64KB ceiling on
+    DDL-heavy registries, in which case Spark's designed degradation
+    applies: that stage falls back to per-expression codegen (split
+    methods, still JVM-compiled, just unfused) — never to Python."""
+    from tiflow_spark.engine import schema_version_expr
+    from tiflow_spark.queries import _varint_hex, _zigzag_hex
+
+    def _lng(c):
+        return _zigzag_hex(c.cast("long"))
+
+    def _sstr(c):
+        return F.concat(
+            _varint_hex(F.octet_length(c).cast("long") * 2, septets=5),
+            F.lower(F.hex(c)),
+        )
+
+    def _optv(c, enc):
+        return F.when(c.isNull(), F.lit("00")).otherwise(
+            F.concat(F.lit("02"), enc(c))
+        )
+
+    def _field_enc(src: str, f) -> "F.Column":
+        v = F.get_json_object(src, f"$.{f.name}")
+        # string-typed fields carry the decoded string; integral fields cast
+        # to long; other types carry the raw JSON lexeme so the relay
+        # splices it back byte-verbatim
+        if f.type in _AVRO_INTEGRAL_TYPES:
+            return _optv(v.cast("long"), _lng)
+        return _optv(v, _sstr)
+
+    def _fkey(f) -> str:
+        kind = "l" if f.type in _AVRO_INTEGRAL_TYPES else "s"
+        return f"{f.name}_{kind}"
+
+    def apply(df: DataFrame) -> DataFrame:
+        staged = df.withColumn("_av_ver", schema_version_expr(registry))
+        staged = staged.withColumn(
+            "_av_env",
+            F.concat(
+                _lng(F.col("seq")), _sstr(F.col("op")),
+                _lng(F.col("commit_ts")), _optv(F.col("start_ts"), _lng),
+                _sstr(F.col("conv_id")), _lng(F.col("turn_idx")),
+            ),
+        ).withColumn("_av_tbl", _optv(F.col("tbl"), _sstr))
+        # one staged encoder per distinct (field, kind) per image column
+        fcols: dict[tuple[str, str], str] = {}
+        for v in registry.versions:
+            for f in v.fields:
+                for src in ("payload", "pre_payload"):
+                    key = (src, _fkey(f))
+                    if key not in fcols:
+                        name = f"_av_{'p' if src == 'payload' else 'q'}_{_fkey(f)}"
+                        staged = staged.withColumn(name, _field_enc(src, f))
+                        fcols[key] = name
+
+        def _record(src: str, fields) -> "F.Column":
+            parts = [F.col(fcols[(src, _fkey(f))]) for f in fields]
+            body = F.concat(*parts) if parts else F.lit("")
+            return F.when(F.col(src).isNull(), F.lit("00")).otherwise(
+                F.concat(F.lit("02"), body)
+            )
+
+        hdr = pay = pre = None
+        for v in registry.versions:
+            sid = int(id_by_version.get(str(v.version),
+                                        id_by_version.get(v.version)))
+            cond = F.col("_av_ver") == v.version
+            h = F.lit(f"00{sid:08x}")
+            p, q = _record("payload", v.fields), _record("pre_payload", v.fields)
+            hdr = F.when(cond, h) if hdr is None else hdr.when(cond, h)
+            pay = F.when(cond, p) if pay is None else pay.when(cond, p)
+            pre = F.when(cond, q) if pre is None else pre.when(cond, q)
+        cur = registry.current
+        sid = int(id_by_version.get(str(cur.version), id_by_version.get(cur.version)))
+        hdr = hdr.otherwise(F.lit(f"00{sid:08x}"))
+        pay = pay.otherwise(_record("payload", cur.fields))
+        pre = pre.otherwise(_record("pre_payload", cur.fields))
+        out = staged.withColumn(
+            "envelope",
+            F.concat(hdr, F.col("_av_env"), pay, pre, F.col("_av_tbl")),
+        )
+        return out.drop("_av_ver", "_av_env", "_av_tbl", *fcols.values())
+
+    return apply
 
 
 def canal_pb_envelope(database: str = "app", table: str = "transcripts"):
@@ -623,6 +811,24 @@ class MQChangefeed:
         control = read_control(
             spark, self.log_path, chk, ("op", "commit_ts", "seq", "ddl")
         )
+        # schema-registry-versioned avro: the topic manifest is the registry
+        # store (schema_registry.go). Resume restores the registry exactly as
+        # of the published checkpoint (the DM table_info-per-checkpoint rule,
+        # dm/syncer/checkpoint.go:971-981); DDLs above it register new writer
+        # schemas as their epochs publish.
+        versioned_avro = self.protocol == "avro" and self.envelope is None
+        registry = avro_ids = avro_schemas = None
+        if versioned_avro:
+            from tiflow_spark.registry import SchemaRegistry
+
+            registry = (
+                SchemaRegistry.from_json(state["registry_json"])
+                if state.get("registry_json")
+                else SchemaRegistry.initial()
+            )
+            avro_ids = dict(state.get("avro_ids") or {})
+            avro_schemas = dict(state.get("avro_schemas") or {})
+            register_avro_schemas(registry, avro_ids, avro_schemas)
         resolved = [
             (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
         ]
@@ -654,10 +860,29 @@ class MQChangefeed:
             dml = engine_event_filters(
                 dml, self.ignore_txn_start_ts, self.event_filter
             )
-            envelope = (
-                self.envelope if self.envelope is not None
-                else MQ_PROTOCOLS[self.protocol]()
-            )
+            ddl_rows = [
+                (r["commit_ts"], r["ddl"]) for r in control
+                if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
+            ]
+            extra_state = None
+            if versioned_avro:
+                # apply this epoch's DDLs in commit order, register the new
+                # versions' writer schemas, and encode every event under ITS
+                # resolved version's schema id
+                for cts, ddl in sorted(ddl_rows):
+                    registry.apply_ddl(json.loads(ddl), cts)
+                register_avro_schemas(registry, avro_ids, avro_schemas)
+                envelope = avro_envelope_versioned(registry, avro_ids)
+                extra_state = {
+                    "registry_json": registry.to_json(),
+                    "avro_ids": avro_ids,
+                    "avro_schemas": avro_schemas,
+                }
+            else:
+                envelope = (
+                    self.envelope if self.envelope is not None
+                    else MQ_PROTOCOLS[self.protocol]()
+                )
             # a codec is either a Column (single envelope expression) or a
             # DataFrame transformer (staged construction for deep wire
             # formats whose one-expression form blows up the plan)
@@ -665,10 +890,6 @@ class MQChangefeed:
                 envelope(dml) if callable(envelope) and not isinstance(envelope, Column)
                 else dml.withColumn("envelope", envelope)
             )
-            ddl_rows = [
-                (r["commit_ts"], r["ddl"]) for r in control
-                if r["op"] == OP_DDL and chk < r["commit_ts"] <= barrier
-            ]
             epoch = self.sink.topic_state()["epoch"] + 1
             # the earliest resolved promise covering this barrier — persisted
             # as the topic's checkpoint_seq (next run's validation floor)
@@ -678,7 +899,7 @@ class MQChangefeed:
             published = self.sink.write_epoch(
                 events, epoch=epoch, barrier_ts=barrier, ddl_rows=ddl_rows,
                 protocol=None if self.envelope is not None else self.protocol,
-                barrier_seq=barrier_seq,
+                barrier_seq=barrier_seq, extra_state=extra_state,
             )
             n = sum(
                 v - state["offsets"][p]
@@ -814,11 +1035,11 @@ def _avro_read_opt(buf: bytes, pos: int, reader) -> tuple[object, int]:
     return reader(buf, pos)
 
 
-def _avro_parse_row(hexstr: str) -> tuple:
-    """Inverse of avro_envelope: Confluent wire hex → change-event tuple
-    (fields in RELAY column order; ddl/partition_hint are not on the
-    row wire)."""
-    buf = bytes.fromhex(hexstr)
+def _avro_parse_row(hexstr: str | bytes) -> tuple:
+    """Inverse of avro_envelope: Confluent wire (hex or raw bytes) →
+    change-event tuple (fields in RELAY column order; ddl/partition_hint
+    are not on the row wire)."""
+    buf = bytes.fromhex(hexstr) if isinstance(hexstr, str) else hexstr
     if buf[0] != 0:
         raise ValueError("not Confluent avro wire: bad magic byte")
     schema_id = int.from_bytes(buf[1:5], "big")
@@ -847,18 +1068,142 @@ _RELAY_COLS = [
 ]
 
 
-def _decode_avro(row_msgs: DataFrame) -> DataFrame:
-    """Inverse of avro_envelope. Binary varint decode is not expressible as
+def _avro_read_value(schema, buf: bytes, pos: int, names: dict):
+    """Generic Avro-binary reader driven by the writer schema (what a real
+    consumer's avro lib does after fetching the schema by the wire's id,
+    schema_registry.go:274-299): unions pick a branch by zigzag index,
+    records walk fields in schema order and register their name for later
+    by-name references."""
+    if isinstance(schema, list):  # union
+        branch, pos = _avro_read_long(buf, pos)
+        sub = schema[branch]
+        if sub == "null":
+            return None, pos
+        return _avro_read_value(sub, buf, pos, names)
+    if isinstance(schema, str):
+        if schema in ("long", "int"):
+            return _avro_read_long(buf, pos)
+        if schema == "string":
+            return _avro_read_str(buf, pos)
+        if schema in names:  # named-type reference (pre_payload → "Row")
+            return _avro_read_value(names[schema], buf, pos, names)
+        raise ValueError(f"avro: unsupported type {schema!r}")
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        names[schema["name"]] = schema
+        out = {}
+        for f in schema["fields"]:
+            out[f["name"]], pos = _avro_read_value(f["type"], buf, pos, names)
+        return out, pos
+    raise ValueError(f"avro: unsupported schema node {schema!r}")
+
+
+def _payload_json_from_record(row_schema: dict, values: dict) -> str:
+    """Reassemble the payload JSON text from a decoded Row record: string
+    fields re-quote (json escaping), integral fields print as numbers, other
+    sparkTypes splice their raw JSON lexeme back verbatim (falling back to a
+    quoted string if the lexeme isn't standalone-valid JSON)."""
+    parts = []
+    for f in row_schema.get("fields", []):
+        v = values.get(f["name"])
+        st = f.get("sparkType", "string")
+        if v is None:
+            txt = "null"
+        elif st in _AVRO_INTEGRAL_TYPES:
+            txt = str(v)
+        elif st == "string":
+            txt = json.dumps(v, ensure_ascii=False)
+        else:
+            try:
+                json.loads(v)
+                txt = v
+            except (ValueError, TypeError):
+                txt = json.dumps(v, ensure_ascii=False)
+        parts.append(json.dumps(f["name"]) + ":" + txt)
+    return "{" + ",".join(parts) + "}"
+
+
+def _avro_parse_versioned(hexstr: str | bytes, schemas_by_id: dict,
+                          ver_by_id: dict) -> tuple:
+    """Versioned-wire decode: the Confluent header's schema id selects the
+    WRITER schema (parsed, from the topic-manifest registry) and the generic
+    reader walks the body under it — pre- and post-DDL messages each decode
+    under their own schema. schema_version is recovered from the id map when
+    the id names exactly one registry version; otherwise (field-identical
+    versions sharing an id) it is left NULL and the as-of rule applies at
+    replay, like the maxwell/canal wires."""
+    buf = bytes.fromhex(hexstr) if isinstance(hexstr, str) else hexstr
+    if buf[0] != 0:
+        raise ValueError("not Confluent avro wire: bad magic byte")
+    sid = int.from_bytes(buf[1:5], "big")
+    schema = schemas_by_id.get(sid)
+    if schema is None:
+        if sid == AVRO_ROW_SCHEMA_ID:
+            # pre-registry topic: the legacy static wire carries payloads as
+            # opaque JSON strings and schema_version explicitly
+            return _avro_parse_row(hexstr)
+        raise ValueError(f"unknown avro schema id {sid}")
+    names: dict = {}
+    rec, pos = _avro_read_value(schema, buf, 5, names)
+    if pos != len(buf):
+        raise ValueError(f"avro trailing bytes: {len(buf) - pos}")
+    row_schema = names.get("Row", {"fields": []})
+    payload = (
+        _payload_json_from_record(row_schema, rec["payload"])
+        if rec["payload"] is not None else None
+    )
+    pre = (
+        _payload_json_from_record(row_schema, rec["pre_payload"])
+        if rec["pre_payload"] is not None else None
+    )
+    return (rec["seq"], rec["op"], rec["commit_ts"], rec["start_ts"],
+            ver_by_id.get(sid), rec["conv_id"], rec["turn_idx"],
+            payload, pre, None, None, rec["tbl"])
+
+
+def _batch_bufs(values) -> list[bytes]:
+    """Hoist the hex→bytes conversion for a whole Arrow batch: ONE C-level
+    ``bytes.fromhex`` over the concatenated batch plus numpy offset
+    arithmetic, instead of a Python-level call per message — the
+    fixed-offset prefix work is batch-vectorized and only the varint walk
+    stays per-message. ``values`` is the batch's pandas Series of hex
+    strings."""
+    import numpy as np
+
+    joined = "".join(values)
+    raw = bytes.fromhex(joined)
+    lens = (values.str.len() // 2).to_numpy(dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return [raw[offs[i]: offs[i + 1]] for i in range(len(lens))]
+
+
+def _decode_avro(row_msgs: DataFrame, state: dict | None = None) -> DataFrame:
+    """Inverse of the avro wires. Binary varint decode is not expressible as
     column expressions (variable-length fields), so this is the one relay
-    decoder that runs Python — Arrow-batched ``mapInPandas``, exactly what a
-    real consumer does with an avro lib; the full envelope (true seq /
-    start_ts / schema_version) comes back off the wire."""
+    decoder family that runs Python — Arrow-batched ``mapInPandas``, exactly
+    what a real consumer does with an avro lib. With a topic-manifest
+    registry (``avro_schemas``/``avro_ids``) each message decodes under its
+    own writer schema selected by the wire's schema id; without one the
+    legacy static wire's fixed walk applies."""
     import pandas as pd
+
+    st = state or {}
+    schemas_by_id = {
+        int(i): json.loads(s) for i, s in (st.get("avro_schemas") or {}).items()
+    }
+    counts: dict[int, int] = {}
+    vers: dict[int, int] = {}
+    for ver, sid in (st.get("avro_ids") or {}).items():
+        counts[int(sid)] = counts.get(int(sid), 0) + 1
+        vers[int(sid)] = int(ver)
+    ver_by_id = {sid: v for sid, v in vers.items() if counts[sid] == 1}
 
     def gen(batches):
         for pdf in batches:
             out = pd.DataFrame(
-                [_avro_parse_row(v) for v in pdf["value"]], columns=_RELAY_COLS
+                [_avro_parse_versioned(v, schemas_by_id, ver_by_id)
+                 for v in _batch_bufs(pdf["value"])],
+                columns=_RELAY_COLS,
             )
             for c in ("seq", "commit_ts", "start_ts", "schema_version",
                       "turn_idx", "partition_hint"):
@@ -922,7 +1267,7 @@ def _canal_pb_parse_row(hexstr: str) -> tuple:
     row image lives in beforeColumns (afterColumns empty), per the
     reference canal wire — the key comes from whichever group carries the
     image."""
-    buf = bytes.fromhex(hexstr)
+    buf = bytes.fromhex(hexstr) if isinstance(hexstr, str) else hexstr
     n, pos = _pb_read_uvarint(buf, 0)
     entry = dict(_pb_read_fields(buf[pos : pos + n]))
     header = dict(_pb_read_fields(entry[1]))
@@ -956,7 +1301,7 @@ def _decode_canal_pb(row_msgs: DataFrame) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             out = pd.DataFrame(
-                [_canal_pb_parse_row(v) for v in pdf["value"]],
+                [_canal_pb_parse_row(v) for v in _batch_bufs(pdf["value"])],
                 columns=_RELAY_COLS,
             )
             out["seq"] = pdf["offset"].values
@@ -984,7 +1329,7 @@ def _craft_parse_row(hexstr: str) -> tuple:
     byte) locates the size tables, the tables locate every segment, then
     the header / groups / term dictionary decode forward — any size-table
     drift fails loudly."""
-    b = bytes.fromhex(hexstr)
+    b = bytes.fromhex(hexstr) if isinstance(hexstr, str) else hexstr
     if b[0] != 0x01:
         raise ValueError("not craft Version1")
     # tail-first: reversed uvarint = same septets, highest first
@@ -1081,7 +1426,7 @@ def _decode_craft(row_msgs: DataFrame) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             out = pd.DataFrame(
-                [_craft_parse_row(v) for v in pdf["value"]],
+                [_craft_parse_row(v) for v in _batch_bufs(pdf["value"])],
                 columns=_RELAY_COLS,
             )
             out["seq"] = pdf["offset"].values
@@ -1138,7 +1483,13 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
             f"topic_to_log can reconstruct {sorted(RELAY_DECODERS)}"
         )
     topic = sink.read_topic(spark)
-    rows = RELAY_DECODERS[protocol](topic.filter(F.col("kind") == "row"))
+    row_df = topic.filter(F.col("kind") == "row")
+    if protocol == "avro":
+        # the topic manifest IS the schema registry: the decoder fetches
+        # each message's writer schema by its wire id from it
+        rows = _decode_avro(row_df, sink.topic_state())
+    else:
+        rows = RELAY_DECODERS[protocol](row_df)
     # control plane (tiny): dedupe the per-partition DDL broadcasts, take
     # the newest checkpoint as the R mark
     ctrl = topic.filter(F.col("kind").isin("ddl", "checkpoint")).collect()
