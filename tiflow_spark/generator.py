@@ -109,6 +109,148 @@ def generate_base(
     return fp, n
 
 
+# bank workload schema: one account row per key, a single integral balance
+BANK_FIELDS = [(1, "balance", "bigint", None)]
+
+
+def generate_bank_feed(
+    out_dir: str,
+    n_accounts: int = 50,
+    n_transfers: int = 2_000,
+    seed: int = 7,
+    resolved_every: int = 200,
+    initial_balance: int = 1_000,
+) -> GeneratedFeed:
+    """Bank-style conserved-quantity workload (the reference's strongest
+    correctness-under-concurrency oracle, tests/integration_tests/bank/
+    case.go:34-50): every transaction debits one account and credits another
+    by the same amount at a SHARED commit_ts/start_ts, so SUM(balance) over
+    the table is invariant — n_accounts × initial_balance — at every
+    resolved-ts snapshot, every sync point, and the final state. Events are
+    full-row images (new balance), like TiDB row changes. Deterministic for
+    a seed; vectorized (running balances via a grouped cumulative sum)."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    n = n_transfers
+
+    # base snapshot: every account at the initial balance
+    acct_ids = pd.array(
+        [f"acct{i:06d}" for i in range(n_accounts)], dtype="str"
+    )
+    base_pdf = pd.DataFrame(
+        {
+            "conv_id": acct_ids,
+            "turn_idx": np.zeros(n_accounts, dtype="int32"),
+            "balance": np.full(n_accounts, initial_balance, dtype="int64"),
+        }
+    )
+    base_dir = os.path.join(out_dir, "base")
+    os.makedirs(base_dir, exist_ok=True)
+    base_fp = os.path.join(base_dir, "accounts.parquet")
+    pq.write_table(pa.Table.from_pandas(base_pdf, preserve_index=False), base_fp)
+
+    # transfers: src != dst, positive amounts; balances may go negative
+    # (no sufficiency constraint — conservation is the invariant, as in the
+    # reference's bank case)
+    src = rng.integers(0, n_accounts, n)
+    dst = (src + rng.integers(1, n_accounts, n)) % n_accounts
+    amount = rng.integers(1, 50, n)
+    commit_ts = 1000 + np.arange(1, n + 1, dtype=np.int64)  # one txn per ts
+
+    # two change rows per transfer, sharing the txn's commit/start ts
+    acct = np.concatenate([src, dst])
+    delta = np.concatenate([-amount, amount])
+    ts2 = np.concatenate([commit_ts, commit_ts])
+    order = np.argsort(ts2, kind="stable")  # interleave debit/credit by txn
+    acct, delta, ts2 = acct[order], delta[order], ts2[order]
+    run = pd.DataFrame({"acct": acct, "delta": delta})
+    new_balance = (
+        initial_balance + run.groupby("acct")["delta"].cumsum()
+    ).to_numpy()
+    old_balance = new_balance - delta
+
+    dml = pd.DataFrame(
+        {
+            "op": "U",
+            "commit_ts": ts2,
+            "start_ts": ts2 - 1,
+            "schema_version": np.ones(2 * n, dtype="int32"),
+            "conv_id": pd.Series(acct).map(lambda i: f"acct{i:06d}"),
+            "turn_idx": np.zeros(2 * n, dtype="int32"),
+            "payload": '{"balance": ' + pd.Series(new_balance).astype(str) + "}",
+            "pre_payload": '{"balance": ' + pd.Series(old_balance).astype(str) + "}",
+            "ddl": None,
+            "partition_hint": (acct % 32).astype("int32"),
+        }
+    )
+
+    # R watermarks on transfer boundaries: both rows of a txn precede its R
+    frames = [dml]
+    pos_all = [np.arange(2 * n, dtype=np.float64)]
+    order_hint = [np.full(2 * n, 1, dtype="int8")]
+    r_positions = list(range(resolved_every - 1, n, resolved_every))
+    if not r_positions or r_positions[-1] != n - 1:
+        r_positions.append(n - 1)
+    for tpos in r_positions:
+        r_ts = int(commit_ts[tpos])
+        frames.append(
+            pd.DataFrame(
+                {
+                    "op": ["R"], "commit_ts": [r_ts], "start_ts": [None],
+                    "schema_version": [None], "conv_id": [None],
+                    "turn_idx": [None], "payload": [None],
+                    "pre_payload": [None], "ddl": [None],
+                    "partition_hint": [None],
+                }
+            )
+        )
+        pos_all.append(np.array([float(2 * tpos + 1)]))
+        order_hint.append(np.array([3], dtype="int8"))
+
+    out = pd.concat(frames, ignore_index=True)
+    out["_pos"] = np.concatenate(pos_all)
+    out["_oh"] = np.concatenate(order_hint)
+    out = out.sort_values(["_pos", "_oh"], kind="stable").drop(
+        columns=["_pos", "_oh"]
+    )
+    out.insert(0, "seq", np.arange(len(out), dtype=np.int64))
+    out = out.reset_index(drop=True)
+
+    schema = pa.schema(
+        [
+            ("seq", pa.int64()), ("op", pa.string()),
+            ("commit_ts", pa.int64()), ("start_ts", pa.int64()),
+            ("schema_version", pa.int32()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()), ("payload", pa.string()),
+            ("pre_payload", pa.string()), ("ddl", pa.string()),
+            ("partition_hint", pa.int32()),
+        ]
+    )
+    log_dir = os.path.join(out_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema, preserve_index=False),
+        os.path.join(log_dir, "changefeed-00000.parquet"),
+    )
+    ctl_mask = out["op"] == "R"
+    ctl_dir = os.path.join(log_dir, "_control")
+    os.makedirs(ctl_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(out[ctl_mask], schema=schema, preserve_index=False),
+        os.path.join(ctl_dir, "control-00000.parquet"),
+    )
+    from tiflow_spark.engine import write_control_coverage
+
+    write_control_coverage(log_dir)
+    return GeneratedFeed(
+        base_path=base_fp,
+        log_path=log_dir,
+        registry=SchemaRegistry.initial(fields=BANK_FIELDS),
+        n_base_rows=n_accounts,
+        n_events=len(out),
+        max_commit_ts=int(commit_ts[-1]),
+    )
+
+
 def generate_changefeed(
     out_dir: str,
     n_convs: int = 100,
