@@ -160,26 +160,33 @@ def main() -> None:
     # trial 0 pays the one-time whole-stage-codegen compile (observed 20s vs
     # 5s warm on the widest expression trees) — a per-query constant, not
     # throughput — and on a contended host the warm number itself can
-    # wobble, so trials repeat until the best two agree within 15% (cap 4).
-    # All trials are reported so the cold cost stays visible.
+    # wobble. Trials repeat until the best two agree within 10% (cap 6;
+    # round 4's 15%/4 let host contention freeze a 2-3× inflated min on the
+    # dedup legs). Every query carries its own converged flag so a reader
+    # can tell a settled number from a cap-stopped one. All trials reported.
+    q_max = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "6"))
+
     def _settled(per: list[float]) -> bool:
         if len(per) < 2:
             return False
         a, b = sorted(per)[:2]
-        return b - a <= 0.15 * max(a, 0.05)
+        return b - a <= 0.10 * max(a, 0.05)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    converged: dict[str, bool] = {}
     for name in names:
         fn = QUERIES[name]
         per = []
-        while len(per) < 4 and not _settled(per):
+        while len(per) < q_max and not _settled(per):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             per.append(round(time.time() - t0, 3))
         timings[name] = min(per)
         cold[name] = max(per)
-        print(f"# {name}: {timings[name]}s ({n} rows, trials={per})", file=sys.stderr)
+        converged[name] = _settled(per)
+        print(f"# {name}: {timings[name]}s ({n} rows, converged="
+              f"{converged[name]}, trials={per})", file=sys.stderr)
 
     cdc_sec, cdc_extra = bench_cdc_replay(spark, sf, cpus)
     timings["cdc_replay"] = round(cdc_sec, 3)
@@ -192,6 +199,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold_trial": cold,
+        "queries_converged": converged,
         "sf": float(sf),
         "cpus": cpus,
         **cdc_extra,
