@@ -1160,6 +1160,79 @@ def _avro_parse_versioned(hexstr: str | bytes, schemas_by_id: dict,
             payload, pre, None, None, rec["tbl"])
 
 
+def _compile_avro_reader(schema: dict, ver: int | None):
+    """Compile ONE writer schema into a specialized reader closure — the
+    schema is interpreted once per schema id per task, not once per message
+    (what a real avro lib's resolving decoder does when it caches the
+    compiled reader by schema id). Handles the canonical envelope shape
+    every ``avro_schema_json`` schema has; returns None for anything else so
+    the generic ``_avro_read_value`` walker stays the correctness fallback.
+    The payload JSON text is assembled inline from precomputed
+    ``"name":``-prefix parts, byte-identical to ``_payload_json_from_record``."""
+    fields = schema.get("fields") if isinstance(schema, dict) else None
+    expected = ["seq", "op", "commit_ts", "start_ts", "conv_id", "turn_idx",
+                "payload", "pre_payload", "tbl"]
+    if not fields or [f["name"] for f in fields] != expected:
+        return None
+    row = fields[6]["type"][1] if isinstance(fields[6]["type"], list) else None
+    if not (isinstance(row, dict) and row.get("type") == "record"):
+        return None
+    specs = []
+    for f in row["fields"]:
+        t = f["type"]
+        if not (isinstance(t, list) and len(t) == 2 and t[0] == "null"
+                and t[1] in ("long", "string")):
+            return None
+        specs.append((json.dumps(f["name"]) + ":", t[1] == "long",
+                      f.get("sparkType", "string")))
+    rl, rs, ro = _avro_read_long, _avro_read_str, _avro_read_opt
+    dumps, loads = json.dumps, json.loads
+
+    def read_row(buf, pos):
+        parts = []
+        for prefix, is_long, stype in specs:
+            branch, pos = rl(buf, pos)
+            if branch == 0:
+                parts.append(prefix + "null")
+            elif is_long:
+                v, pos = rl(buf, pos)
+                parts.append(prefix + str(v))
+            else:
+                v, pos = rs(buf, pos)
+                if stype == "string":
+                    parts.append(prefix + dumps(v, ensure_ascii=False))
+                else:  # raw JSON lexeme splice (non-string, non-integral)
+                    try:
+                        loads(v)
+                        parts.append(prefix + v)
+                    except (ValueError, TypeError):
+                        parts.append(prefix + dumps(v, ensure_ascii=False))
+        return "{" + ",".join(parts) + "}", pos
+
+    def read(buf: bytes) -> tuple:
+        pos = 5  # caller validated magic + extracted the schema id
+        seq, pos = rl(buf, pos)
+        op, pos = rs(buf, pos)
+        cts, pos = rl(buf, pos)
+        sts, pos = ro(buf, pos, rl)
+        cid, pos = rs(buf, pos)
+        ti, pos = rl(buf, pos)
+        branch, pos = rl(buf, pos)
+        payload = None
+        if branch:
+            payload, pos = read_row(buf, pos)
+        branch, pos = rl(buf, pos)
+        pre = None
+        if branch:
+            pre, pos = read_row(buf, pos)
+        tbl, pos = ro(buf, pos, rs)
+        if pos != len(buf):
+            raise ValueError(f"avro trailing bytes: {len(buf) - pos}")
+        return (seq, op, cts, sts, ver, cid, ti, payload, pre, None, None, tbl)
+
+    return read
+
+
 def _batch_bufs(values) -> list[bytes]:
     """Hoist the hex→bytes conversion for a whole Arrow batch: ONE C-level
     ``bytes.fromhex`` over the concatenated batch plus numpy offset
@@ -1199,10 +1272,27 @@ def _decode_avro(row_msgs: DataFrame, state: dict | None = None) -> DataFrame:
     ver_by_id = {sid: v for sid, v in vers.items() if counts[sid] == 1}
 
     def gen(batches):
+        # per-task compiled-reader cache: schema interpreted once per id,
+        # every message dispatches to its id's closure
+        readers: dict[int, object] = {}
+
+        def decode(buf: bytes) -> tuple:
+            if buf[0] != 0:
+                raise ValueError("not Confluent avro wire: bad magic byte")
+            sid = int.from_bytes(buf[1:5], "big")
+            r = readers.get(sid)
+            if r is None:
+                schema = schemas_by_id.get(sid)
+                r = schema and _compile_avro_reader(schema, ver_by_id.get(sid))
+                if not r:  # non-canonical schema or legacy static wire
+                    r = lambda b: _avro_parse_versioned(  # noqa: E731
+                        b, schemas_by_id, ver_by_id)
+                readers[sid] = r
+            return r(buf)
+
         for pdf in batches:
             out = pd.DataFrame(
-                [_avro_parse_versioned(v, schemas_by_id, ver_by_id)
-                 for v in _batch_bufs(pdf["value"])],
+                [decode(v) for v in _batch_bufs(pdf["value"])],
                 columns=_RELAY_COLS,
             )
             for c in ("seq", "commit_ts", "start_ts", "schema_version",
@@ -1504,13 +1594,22 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
             # reconstructed log keeps the original epoch granularity (a
             # relay consumer can resume mid-stream exactly like the source)
             barriers.add(v["resolved_ts"])
-    agg = rows.agg(
+    # ONE decode pass: write the decoded rows, then validate and take
+    # max(seq) from the WRITTEN parquet — a narrow two-column scan — instead
+    # of running the (Python, for the binary wires) decode a second time
+    _os.makedirs(out_dir, exist_ok=True)
+    rows.write.mode("overwrite").parquet(out_dir)
+    agg = spark.read.parquet(out_dir).agg(
         F.max("seq").alias("max_seq"),
         F.sum(F.when(F.col("op").isNull(), 1).otherwise(0)).alias("bad"),
     ).collect()[0]
     if (agg["bad"] or 0) > 0:
         # custom envelope or pre-protocol topic this schema can't decode —
-        # fail loudly rather than relay a silently-empty stream
+        # fail loudly (and leave no half-built log) rather than relay a
+        # silently-empty stream
+        import shutil as _shutil
+
+        _shutil.rmtree(out_dir, ignore_errors=True)
         raise ValueError(
             f"{agg['bad']} row messages did not decode as {protocol} "
             "envelopes (op is null) — wrong codec for this topic"
@@ -1523,13 +1622,10 @@ def topic_to_log(spark: SparkSession, sink: FileMQSink, out_dir: str) -> str:
     for j, b in enumerate(sorted(barriers)):
         extra.append((max_seq + 1 + len(ddls) + j, "R", b, None, None,
                       None, None, None, None, None, None, None))
-    out = rows
     if extra:
-        out = rows.unionByName(
-            spark.createDataFrame(extra, CHANGE_EVENT_SCHEMA)
-        )
-    _os.makedirs(out_dir, exist_ok=True)
-    out.write.mode("overwrite").parquet(out_dir)
+        # control rows append as their own (tiny) segment file
+        spark.createDataFrame(extra, CHANGE_EVENT_SCHEMA).coalesce(1)\
+            .write.mode("append").parquet(out_dir)
     # control sidecar + coverage watermark: the R/DDL rows are already on
     # the driver, so mirror them under _control/ — replaying a relayed log
     # then takes the same O(control-rows) fast path as a generated one
