@@ -160,17 +160,19 @@ def main() -> None:
     # trial 0 pays the one-time whole-stage-codegen compile (observed 20s vs
     # 5s warm on the widest expression trees) — a per-query constant, not
     # throughput — and on a contended host the warm number itself can
-    # wobble. Trials repeat until the best two agree within 10% (cap 6;
-    # round 4's 15%/4 let host contention freeze a 2-3× inflated min on the
-    # dedup legs). Every query carries its own converged flag so a reader
-    # can tell a settled number from a cap-stopped one. All trials reported.
+    # wobble. Trials repeat until the best two agree within 10% — with a
+    # 50 ms absolute floor, since for sub-second queries a relative-only
+    # band is tighter than scheduler jitter (cap 6; round 4's 15%/4 let
+    # host contention freeze a 2-3× inflated min on the dedup legs). Every
+    # query carries its own converged flag so a reader can tell a settled
+    # number from a cap-stopped one. All trials reported.
     q_max = int(os.environ.get("BENCH_QUERY_MAX_TRIALS", "6"))
 
     def _settled(per: list[float]) -> bool:
         if len(per) < 2:
             return False
         a, b = sorted(per)[:2]
-        return b - a <= 0.10 * max(a, 0.05)
+        return b - a <= max(0.10 * a, 0.05)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

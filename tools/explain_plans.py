@@ -71,7 +71,8 @@ def main() -> None:
     for name in ("cdc_lww_replay", "cdc_canonical_order", "cdc_watermark_cut",
                  "cdc_schema_asof", "text_langid", "text_decontaminate",
                  "text_repetition", "dedup_minhash_lsh",
-                 "dedup_ngram_jaccard", "cdc_multi_table", "cdc_encode_avro"):
+                 "dedup_ngram_jaccard", "cdc_multi_table", "cdc_encode_avro",
+                 "cdc_sql_pattern_filter"):
         plans[name] = plan_of(q.QUERIES[name](spark, sf_dir))
 
     # the replay hot path: epoch slice → fold → decode → bucket (pre-merge)

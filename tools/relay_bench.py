@@ -54,6 +54,20 @@ def main() -> None:
         )
     log_path = os.path.join(feed_dir, "log")
 
+    # tiny warmup feed: each protocol pays its JVM JIT / codegen-compile /
+    # Arrow-init cost on this before its timed leg — otherwise the FIRST
+    # protocol in the loop absorbs the whole session warmup (measured ~2×
+    # on its relay number and worse on publish)
+    warm_feed = os.path.join(work, "warm_feed")
+    if not os.path.exists(os.path.join(warm_feed, "log")):
+        os.makedirs(warm_feed, exist_ok=True)
+        generate_changefeed(
+            warm_feed, n_convs=200, turns_per_conv=5, n_changes=20_000,
+            seed=7, resolved_every=10_000, n_files=8,
+            ddl_plan=[(0.5, {"action": "add_column", "name": "note",
+                             "type": "string", "default": ""})],
+        )
+
     spark = get_spark(app="relay_bench", cpus=cpus, shuffle_partitions=cpus)
     out: dict[str, dict] = {}
     for proto in protocols:
@@ -61,6 +75,12 @@ def main() -> None:
         relay_dir = os.path.join(work, f"relay_{proto}")
         shutil.rmtree(topic_dir, ignore_errors=True)
         shutil.rmtree(relay_dir, ignore_errors=True)
+        for d in (f"{topic_dir}_warm", f"{relay_dir}_warm"):
+            shutil.rmtree(d, ignore_errors=True)
+        wsink = FileMQSink(f"{topic_dir}_warm", n_partitions=min(cpus, 8))
+        MQChangefeed(os.path.join(warm_feed, "log"), wsink,
+                     protocol=proto).run(spark)
+        topic_to_log(spark, wsink, f"{relay_dir}_warm")
         sink = FileMQSink(topic_dir, n_partitions=cpus)
         t0 = time.time()
         MQChangefeed(log_path, sink, protocol=proto).run(spark)
