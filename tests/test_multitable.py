@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from tiflow_spark.engine import MultiTableEngine
 from tiflow_spark.lake import LakeTable
 from tiflow_spark.oracle import sequential_apply
@@ -297,3 +299,121 @@ def test_streaming_tick_reads_control_once(spark, tmp_path, monkeypatch):
         sequential_apply(base_b, log_dir, source_tables={"app.beta"},
                          barrier_ts=barrier),
     )
+
+
+def test_shard_ddl_optimist_dedup(spark, tmp_path):
+    """Optimist-mode shard-DDL coordination (D3/D4 sliver,
+    dm/master/shardddl/optimist.go via registry.reconcile_shard_ddl): both
+    shards of a merge target replay the SAME ADD COLUMN at different
+    positions. The joint schema evolves ONCE (first arrival); the lagging
+    shard's re-arrival is a no-op; the lagging shard's in-between event —
+    written before ITS copy of the DDL executed — decodes under the joint
+    schema with the column default (divergent-window decode); and the final
+    table byte-matches the shard-merge oracle under the same rule."""
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    add_note = {"action": "add_column", "name": "note", "type": "string",
+                "default": "dflt"}
+    events = [
+        ev(0, "DDL", 101, ddl=add_note, tbl="app.users_1"),  # shard 1 first
+        ev(1, "U", 102, "c1", 0, pl("s1 post-ddl", note="n1"),
+           tbl="app.users_1", ver=2),
+        # shard 2 hasn't run its DDL yet: pre-DDL image stamped with the
+        # shard's OWN (old) schema version, as a lagging DM shard does
+        ev(2, "U", 103, "c2", 0, pl("s2 pre-ddl"), tbl="app.users_2",
+           ver=1),
+        ev(3, "DDL", 104, ddl=add_note, tbl="app.users_2"),  # re-arrival
+        ev(4, "U", 105, "c3", 0, pl("s2 post-ddl", note="n2"),
+           tbl="app.users_2", ver=None),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"users": LakeTable(str(tmp_path / "tgt"), num_buckets=2)},
+        rules=[("app.users_*", "users")],
+    )
+    eng.bootstrap(spark, {"users": os.path.dirname(base)})
+    stats = eng.run(spark)
+    # one schema apply, not two: the target registry has exactly 2 versions
+    reg = eng.tables["users"].registry()
+    assert [v.version for v in reg.versions] == [1, 2]
+    got = eng.final_state(spark, "users").toPandas()
+    by_key = {(r.conv_id, r.turn_idx): r.note for r in got.itertuples()}
+    assert by_key[("c1", 0)] == "n1"
+    assert by_key[("c2", 0)] == "dflt"  # divergent-window default fill
+    assert by_key[("c3", 0)] == "n2"
+    assert_tables_equal(
+        got,
+        sequential_apply(base, log_dir,
+                         source_tables={"app.users_1", "app.users_2"},
+                         shard_merge=True),
+    )
+
+
+def test_shard_ddl_conflict_raises(spark, tmp_path):
+    """Incompatible shard DDLs (same column name, different types) raise
+    ShardDDLConflict loudly — the optimist conflict state — instead of
+    silently applying either schema."""
+    from tiflow_spark.registry import ShardDDLConflict
+
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    events = [
+        ev(0, "DDL", 101, ddl={"action": "add_column", "name": "note",
+                               "type": "string"}, tbl="app.users_1"),
+        ev(1, "DDL", 102, ddl={"action": "add_column", "name": "note",
+                               "type": "bigint"}, tbl="app.users_2"),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"users": LakeTable(str(tmp_path / "tgt2"), num_buckets=2)},
+        rules=[("app.users_*", "users")],
+    )
+    eng.bootstrap(spark, {"users": os.path.dirname(base)})
+    with pytest.raises(ShardDDLConflict, match="note"):
+        eng.run(spark)
+
+
+def test_reconcile_shard_ddl_matrix():
+    """Driver-side reconciliation table: apply / noop / conflict for every
+    column-DDL shape against a joint schema."""
+    from tiflow_spark.registry import (
+        ShardDDLConflict, SchemaRegistry, reconcile_shard_ddl as rec,
+    )
+
+    reg = SchemaRegistry.initial()  # role/text/tool/ts
+    reg.apply_ddl({"action": "add_column", "name": "note",
+                   "type": "string", "default": "d"}, 100)
+
+    assert rec(reg, {"action": "add_column", "name": "fresh"}) == "apply"
+    assert rec(reg, {"action": "add_column", "name": "note",
+                     "type": "string", "default": "d"}) == "noop"
+    assert rec(reg, {"action": "add_column", "name": "note",
+                     "type": "string"}) == "noop"  # default omitted = same
+    with pytest.raises(ShardDDLConflict):
+        rec(reg, {"action": "add_column", "name": "note", "type": "bigint"})
+    assert rec(reg, {"action": "drop_column", "name": "note"}) == "apply"
+    assert rec(reg, {"action": "drop_column", "name": "gone"}) == "noop"
+    assert rec(reg, {"action": "rename_column", "name": "note",
+                     "new_name": "memo"}) == "apply"
+    assert rec(reg, {"action": "rename_column", "name": "gone",
+                     "new_name": "note"}) == "noop"  # already renamed
+    with pytest.raises(ShardDDLConflict):
+        rec(reg, {"action": "rename_column", "name": "note",
+                  "new_name": "text"})  # collides with live column
+    with pytest.raises(ShardDDLConflict):
+        rec(reg, {"action": "rename_column", "name": "gone",
+                  "new_name": "also_gone"})
+    assert rec(reg, {"action": "modify_column", "name": "note",
+                     "type": "bigint"}) == "apply"
+    assert rec(reg, {"action": "modify_column", "name": "note",
+                     "type": "string", "default": "d"}) == "noop"
+    with pytest.raises(ShardDDLConflict):
+        rec(reg, {"action": "modify_column", "name": "gone",
+                  "type": "string"})
+    assert rec(reg, {"action": "truncate_table"}) == "apply"  # global ops

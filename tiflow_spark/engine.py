@@ -345,11 +345,19 @@ class ChangefeedEngine:
         validate_after_apply: bool = False,
         validate_rows: bool = False,
         sql_patterns: list[str] | None = None,
+        shard_merge: bool = False,
     ):
         self.log_path = log_path
         self.table = table
         self.ignore_txn_start_ts = list(ignore_txn_start_ts or [])
         self.event_filter = event_filter
+        # optimist-mode shard-DDL coordination (registry.reconcile_shard_ddl,
+        # dm/master/shardddl/optimist.go): in shard-merge tasks every shard
+        # replays its own copy of each DDL — identical re-arrivals dedupe to
+        # one schema apply, incompatible ones raise ShardDDLConflict. On for
+        # MultiTableEngine sub-applies (DM task mode), off for single-table
+        # feeds where a duplicate DDL is a producer bug worth failing on.
+        self.shard_merge = shard_merge
         # DM sql-pattern statement filter (dm/syncer/filter.go:95-110):
         # DDLs whose canonical statement text matches any of these
         # case-insensitive regexes are skipped on the driver-side DDL path
@@ -584,6 +592,11 @@ class ChangefeedEngine:
                        else None) or DEFAULT_TABLE,
             ):
                 continue  # DM sql-pattern filter: statement-text skip
+            if self.shard_merge:
+                from tiflow_spark.registry import reconcile_shard_ddl
+
+                if reconcile_shard_ddl(registry, d) == "noop":
+                    continue  # another shard's copy already evolved the schema
             registry.apply_ddl(d, r["commit_ts"])
             if d["action"] == "truncate_table":
                 # only the LAST truncate matters: everything at/before it is
@@ -970,6 +983,7 @@ class MultiTableEngine:
                     event_filter=self.event_filter,
                     validate_rows=self.validate_rows,
                     sql_patterns=self.sql_patterns,
+                    shard_merge=True,
                 )
                 st = sub.apply_slice(
                     spark, sliced, m, barrier, ddl_rows=ddl_rows,
@@ -1044,6 +1058,8 @@ class MultiTableEngine:
                 ignore_txn_start_ts=self.ignore_txn_start_ts,
                 event_filter=self.event_filter,
                 validate_rows=self.validate_rows,
+                sql_patterns=self.sql_patterns,
+                shard_merge=True,
             )
             out.append(
                 sub.apply_slice(

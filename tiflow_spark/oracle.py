@@ -98,6 +98,7 @@ def sequential_apply(
     default_table: str = "transcripts",
     ignore_txn_start_ts: set[int] | None = None,
     sql_patterns: list[str] | None = None,
+    shard_merge: bool = False,
 ) -> pd.DataFrame:
     """Replay the log onto the base snapshot; return the final table.
 
@@ -144,6 +145,13 @@ def sequential_apply(
             ):
                 continue  # DM sql-pattern statement filter (engine twin)
             if d.get("action") in REPLICABLE_DDL_ACTIONS:  # F2 allowlist
+                if shard_merge:
+                    # optimist shard-DDL twin (engine.apply_slice):
+                    # identical re-arrivals from other shards dedupe
+                    from tiflow_spark.registry import reconcile_shard_ddl
+
+                    if reconcile_shard_ddl(registry, d) == "noop":
+                        continue
                 registry.apply_ddl(d, cts)
                 if d["action"] == "truncate_table":
                     state.clear()  # tombstone: schema kept, rows wiped

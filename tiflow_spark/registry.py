@@ -255,3 +255,82 @@ class SchemaRegistry:
             for v in raw
         ]
         return cls(versions=versions)
+
+
+class ShardDDLConflict(Exception):
+    """Incompatible shard DDLs against the joint schema (DM optimist's
+    conflict state, dm/master/shardddl/optimist.go — two upstream shards
+    asked for schemas that cannot coexist). Raised loudly instead of
+    applying either; resolution is operator-driven, as in the reference."""
+
+
+def reconcile_shard_ddl(registry: SchemaRegistry, ddl: dict) -> str:
+    """Optimist-mode shard-DDL coordination (D3/D4 sliver;
+    dm/master/shardddl/optimist.go + dm/pkg/shardddl/optimism): in a
+    shard-merge task every upstream shard replays ITS copy of each DDL, so
+    the same logical statement arrives once per shard. Against the joint
+    (downstream) schema each arrival resolves to one of:
+
+    - ``"apply"`` — first arrival, evolves the joint schema;
+    - ``"noop"``  — an already-absorbed DDL (add of an identical existing
+      column, drop of an already-dropped column, rename whose target name
+      already exists, modify to the already-current type) — the lagging
+      shard catches up without touching the schema, exactly optimist's
+      no-op lock resolution;
+    - ``ShardDDLConflict`` — schemas that cannot coexist (same column name
+      added with different types, rename colliding with a live column,
+      modify of a column no shard still has).
+
+    Identical-DDL matching is structural (name/type/default), not textual —
+    shards may render the same statement differently. A later modify to a
+    NEW type is applied (ordered single-log evolution), only the identical
+    re-arrival dedupes; table-wide ops (truncate, partition cuts) stay
+    global per the D6 shard-merge contract. Divergent-window decode — a
+    lagging shard's pre-DDL events under the evolved joint schema — needs
+    no coordination here: events resolve as-of their commit_ts and missing
+    fields take the column default (engine.decode_events)."""
+    cur = registry.current
+    a = ddl.get("action")
+    names = {f.name: f for f in cur.fields}
+    if a == "add_column":
+        f = names.get(ddl["name"])
+        if f is None:
+            return "apply"
+        want_type = ddl.get("type", "string")
+        want_default = ddl.get("default")
+        if f.type == want_type and (want_default is None
+                                    or f.default == want_default):
+            return "noop"
+        raise ShardDDLConflict(
+            f"add_column {ddl['name']}: joint schema already has "
+            f"({f.type}, default {f.default!r}) but a shard asked for "
+            f"({want_type}, default {want_default!r})"
+        )
+    if a == "drop_column":
+        return "apply" if ddl["name"] in names else "noop"
+    if a == "rename_column":
+        old, new = ddl["name"], ddl.get("new_name")
+        if old in names:
+            if new in names:
+                raise ShardDDLConflict(
+                    f"rename_column {old}->{new}: target name is a live "
+                    "column in the joint schema"
+                )
+            return "apply"
+        if new in names:
+            return "noop"  # another shard already renamed it
+        raise ShardDDLConflict(
+            f"rename_column {old}->{new}: neither name exists in the "
+            "joint schema"
+        )
+    if a == "modify_column":
+        f = names.get(ddl["name"])
+        if f is None:
+            raise ShardDDLConflict(
+                f"modify_column {ddl['name']}: column not in joint schema"
+            )
+        if (f.type == ddl.get("type")
+                and ddl.get("default", f.default) == f.default):
+            return "noop"
+        return "apply"
+    return "apply"
