@@ -28,6 +28,7 @@ HEADLINE = [
     "cdc_update_split",
     "cdc_lineage",
     "cdc_syncpoint",
+    "cdc_sql_pattern_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
