@@ -417,3 +417,66 @@ def test_reconcile_shard_ddl_matrix():
         rec(reg, {"action": "modify_column", "name": "gone",
                   "type": "string"})
     assert rec(reg, {"action": "truncate_table"}) == "apply"  # global ops
+
+
+def test_streaming_shard_ddl_and_sql_patterns_parity(spark, tmp_path):
+    """The STREAMING front-end's multi-table sub-applies carry the same
+    shard-DDL dedup and sql-pattern config as the batch path (front-ends
+    must stay byte-identical): a duplicated shard ADD COLUMN applies once,
+    a pattern-matched DDL is skipped, and the streamed final byte-matches
+    both the batch replay and the filtered shard-merge oracle."""
+    from tiflow_spark.streaming import StreamingChangefeed
+
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    add_note = {"action": "add_column", "name": "note", "type": "string",
+                "default": "d"}
+    add_secret = {"action": "add_column", "name": "secret",
+                  "type": "string", "default": "s"}
+    events = [
+        ev(0, "DDL", 101, ddl=add_note, tbl="app.users_1"),
+        ev(1, "DDL", 102, ddl=add_secret, tbl="app.users_1"),  # filtered
+        ev(2, "U", 103, "c1", 0, pl("s1", note="n"), tbl="app.users_1",
+           ver=None),
+        ev(3, "R", 150),
+        ev(4, "DDL", 201, ddl=add_note, tbl="app.users_2"),  # shard dup
+        ev(5, "U", 202, "c2", 0, pl("s2"), tbl="app.users_2", ver=1),
+        ev(6, "R", 300),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    pats = ["ADD COLUMN secret"]
+
+    def mk(tag):
+        return MultiTableEngine(
+            log_dir,
+            tables={"users": LakeTable(str(tmp_path / f"tgt_{tag}"),
+                                       num_buckets=2)},
+            rules=[("app.users_*", "users")],
+            sql_patterns=pats,
+        )
+
+    streamed = mk("stream")
+    streamed.bootstrap(spark, {"users": os.path.dirname(base)})
+    epochs = StreamingChangefeed(
+        streamed, str(tmp_path / "chk")
+    ).run_available(spark)
+    assert epochs and all(e.committed for e in epochs)
+
+    batch = mk("batch")
+    batch.bootstrap(spark, {"users": os.path.dirname(base)})
+    batch.run(spark, barrier_stride=1)
+
+    got_s = streamed.final_state(spark, "users").toPandas()
+    got_b = batch.final_state(spark, "users").toPandas()
+    assert "secret" not in got_s.columns and "note" in got_s.columns
+    reg = streamed.tables["users"].registry()
+    assert [v.version for v in reg.versions] == [1, 2]  # note once, no secret
+    assert_tables_equal(got_s, got_b)
+    assert_tables_equal(
+        got_s,
+        sequential_apply(base, log_dir,
+                         source_tables={"app.users_1", "app.users_2"},
+                         shard_merge=True, sql_patterns=pats),
+    )
