@@ -586,3 +586,45 @@ def test_craft_mq_wire_roundtrip_bytes(feed, spark):
         saw_pre = saw_pre or pre_payload is not None
         saw_delete = saw_delete or (op == "D" and payload is None)
     assert saw_pre and saw_delete
+
+
+def test_streaming_versioned_avro_publish_and_relay(feed, tmp_path, spark):
+    """The streaming front-end drives the VERSIONED avro wire: the ticks
+    before the mid-stream ADD COLUMN publish under schema id 1, the ticks
+    after it register and use id 2 (the topic manifest is the registry),
+    the relay decodes each era under its own writer schema, and the relayed
+    replay byte-matches the sequential oracle — identical to the batch
+    publish of the same feed."""
+    from tiflow_spark.engine import ChangefeedEngine
+    from tiflow_spark.lake import LakeTable
+    from tiflow_spark.oracle import sequential_apply
+    from tiflow_spark.sinks.mq import FileMQSink, MQChangefeed, topic_to_log
+    from tiflow_spark.streaming.changefeed_stream import StreamingChangefeed
+    from tests.helpers import assert_tables_equal
+
+    sink = FileMQSink(str(tmp_path / "sv_topic"), n_partitions=4)
+    cf = MQChangefeed(feed.log_path, sink, protocol="avro")
+    epochs = StreamingChangefeed(
+        cf, str(tmp_path / "sv_ckpt")
+    ).run_available(spark)
+    assert epochs and sink.topic_state()["barrier_ts"] == feed.max_commit_ts
+
+    state = sink.topic_state()
+    assert state["avro_ids"] == {"1": 1, "2": 2}  # registry grew mid-stream
+    ids = {
+        int.from_bytes(bytes.fromhex(r["value"])[1:5], "big")
+        for r in sink.read_topic(spark)
+        .filter(F.col("kind") == "row").collect()
+    }
+    assert ids == {1, 2}  # both writer schemas actually on the wire
+
+    log2 = topic_to_log(spark, sink, str(tmp_path / "sv_relay"))
+    eng = ChangefeedEngine(
+        log2, LakeTable(str(tmp_path / "sv_t"), num_buckets=4)
+    )
+    eng.bootstrap(spark, feed.base_path)
+    eng.run(spark)
+    assert_tables_equal(
+        eng.final_state(spark).toPandas(),
+        sequential_apply(feed.base_path, feed.log_path),
+    )
