@@ -480,3 +480,119 @@ def test_streaming_shard_ddl_and_sql_patterns_parity(spark, tmp_path):
                          source_tables={"app.users_1", "app.users_2"},
                          shard_merge=True, sql_patterns=pats),
     )
+
+
+def test_online_ddl_classifier_and_filter(spark):
+    """Classifier matrix for both schemes + the executor-side DML filter
+    twin: helper-table DML drops, real and NULL-table rows keep."""
+    from tiflow_spark.operators.filters import (
+        classify_online_ddl, online_ddl_dml_filter,
+    )
+
+    assert classify_online_ddl("app._users_gho", "gh-ost") == ("ghost", "app.users")
+    assert classify_online_ddl("app._users_ghc", "gh-ost") == ("trash", "app.users")
+    assert classify_online_ddl("app._users_del", "gh-ost") == ("trash", "app.users")
+    assert classify_online_ddl("app.users", "gh-ost") == ("real", "app.users")
+    assert classify_online_ddl("_t_new", "pt-osc") == ("ghost", "t")
+    assert classify_online_ddl("_t_old", "pt-osc") == ("trash", "t")
+    assert classify_online_ddl("app._users_gho", "pt-osc") == ("real", "app._users_gho")
+    assert classify_online_ddl(None, "gh-ost") == ("real", None)
+
+    df = spark.createDataFrame(
+        [("U", "app.users"), ("U", "app._users_gho"), ("U", "app._users_del"),
+         ("U", "app._users_ghc"), ("U", None), ("U", "app.musers_gho")],
+        "op string, tbl string",
+    )
+    kept = {r["tbl"] for r in online_ddl_dml_filter(df, "gh-ost").collect()}
+    assert kept == {"app.users", None, "app.musers_gho"}
+
+
+def test_online_ddl_ghost_stash_applies_at_rename(spark, tmp_path):
+    """gh-ost flow end-to-end (D2, online_ddl.go:195-260): the ghost
+    table's ALTER is stashed (not applied), its backfill DML is dropped,
+    trash-table rows are dropped, and the ALTER lands on the real table
+    exactly at the cut-over RENAME's commit_ts — events between the ghost
+    ALTER and the rename still decode under the OLD schema. Byte-match vs
+    the online-DDL oracle, through crash/resume."""
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    events = [
+        ev(0, "U", 101, "c1", 0, pl("v1"), tbl="app.users"),
+        # gh-ost starts: applies the ALTER to the ghost copy
+        ev(1, "DDL", 102, ddl={"action": "add_column", "name": "note",
+                               "type": "string", "default": "d"},
+           tbl="app._users_gho"),
+        # ghost backfill writes + trash churn: must NOT replicate
+        ev(2, "I", 103, "c1", 0, pl("backfill copy"), tbl="app._users_gho"),
+        ev(3, "I", 104, "zz", 0, pl("ghc log row"), tbl="app._users_ghc"),
+        # real-table write DURING the migration: still OLD schema
+        ev(4, "U", 105, "c2", 0, pl("mid-migration"), tbl="app.users",
+           ver=1),
+        ev(5, "R", 150),
+        # cut-over: RENAME swaps ghost over real — the ALTER takes effect
+        ev(6, "DDL", 200, ddl={"action": "rename_table",
+                               "from": "app._users_gho", "to": "app.users"},
+           tbl="app.users"),
+        ev(7, "U", 201, "c3", 0, pl("post-cutover", note="n"),
+           tbl="app.users", ver=None),
+        ev(8, "R", 300),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+
+    def mk(tag):
+        return MultiTableEngine(
+            log_dir,
+            tables={"users": LakeTable(str(tmp_path / f"tgt_{tag}"),
+                                       num_buckets=2)},
+            rules=[("app.*", "users")],  # glob would match helpers too
+            online_ddl="gh-ost",
+        )
+
+    eng = mk("a")
+    eng.bootstrap(spark, {"users": os.path.dirname(base)})
+    eng.run(spark, max_epochs=1, barrier_stride=1)  # epoch 1: pre-cutover
+    reg_mid = eng.tables["users"].registry()
+    assert [v.version for v in reg_mid.versions] == [1]  # ALTER still stashed
+    eng2 = mk("a")  # crash/resume across the cut-over
+    eng2.run(spark, barrier_stride=1)
+    reg = eng2.tables["users"].registry()
+    assert [v.version for v in reg.versions] == [1, 2]
+    assert reg.versions[1].active_from_ts == 200  # applied AT the rename
+
+    got = eng2.final_state(spark, "users").toPandas()
+    assert set(got["conv_id"]) == {"c1", "c2", "c3"}  # no helper rows
+    by = {r.conv_id: (r.text, r.note) for r in got.itertuples()}
+    assert by["c1"] == ("v1", "d")          # backfill copy dropped
+    assert by["c2"] == ("mid-migration", "d")
+    assert by["c3"] == ("post-cutover", "n")
+    assert_tables_equal(
+        got,
+        sequential_apply(base, log_dir, source_tables={"app.users"},
+                         shard_merge=True, online_ddl="gh-ost"),
+    )
+    # second migration of the same table re-uses the ghost name: the first
+    # stash was consumed at its rename, nothing re-applies
+    assert eng2.run(spark)["users"].epochs == []
+
+
+def test_online_ddl_config_surface(tmp_path):
+    """TOML: online-ddl validates the scheme and requires routes."""
+    from tiflow_spark.config import load_config
+
+    log = tmp_path / "log"
+    log.mkdir()
+    ok = tmp_path / "ok.toml"
+    ok.write_text(f'log = "{log}"\ntarget = "t"\nonline-ddl = "gh-ost"\n'
+                  '[[routes]]\nsource = "app.*"\ntarget = "users"\n')
+    assert load_config(str(ok)).online_ddl == "gh-ost"
+    bad_scheme = tmp_path / "bad1.toml"
+    bad_scheme.write_text(f'log = "{log}"\ntarget = "t"\nonline-ddl = "nope"\n'
+                          '[[routes]]\nsource = "a"\ntarget = "users"\n')
+    with pytest.raises(ValueError, match="gh-ost"):
+        load_config(str(bad_scheme))
+    no_routes = tmp_path / "bad2.toml"
+    no_routes.write_text(f'log = "{log}"\ntarget = "t"\nonline-ddl = "gh-ost"\n')
+    with pytest.raises(ValueError, match="routes"):
+        load_config(str(no_routes))

@@ -65,6 +65,9 @@ class ChangefeedConfig:
     # regexes are skipped on the apply path (lake sinks only — the MQ sink
     # is TiCDC-side, which has no sql-pattern vocabulary)
     sql_patterns: list[str] = field(default_factory=list)
+    # online-DDL plugin scheme (dm/dm/config/task.go online-ddl /
+    # online-ddl-scheme): 'gh-ost' | 'pt-osc'; multi-table (routes) only
+    online_ddl: str | None = None
     routes: list[RouteRule] = field(default_factory=list)
     stream_checkpoint: str | None = None  # Spark streaming checkpoint dir
     max_files_per_trigger: int | None = None  # FC1 flow-control quota
@@ -92,7 +95,7 @@ def load_config(path: str) -> ChangefeedConfig:
         "log", "target", "base", "start-ts", "target-ts", "barrier-stride",
         "syncpoint-every", "num-buckets", "validate-resolved",
         "validate-state", "validate-rows", "bootstrap-chunk-files",
-        "gc-keep-last", "filter", "routes", "stream-checkpoint",
+        "gc-keep-last", "filter", "routes", "online-ddl", "stream-checkpoint",
         "max-files-per-trigger", "sink",
     }
     unknown = set(raw) - top_keys
@@ -126,6 +129,18 @@ def load_config(path: str) -> ChangefeedConfig:
             raise ValueError(f"unknown [[routes]] keys: {sorted(r_unknown)}")
         routes.append(RouteRule(r["source"], r["target"], r.get("base")))
 
+    online_ddl = raw.get("online-ddl") or None
+    if online_ddl is not None:
+        if online_ddl not in ("gh-ost", "pt-osc"):
+            raise ValueError(
+                f"online-ddl must be 'gh-ost' or 'pt-osc', got {online_ddl!r}"
+            )
+        if not routes:
+            raise ValueError(
+                "online-ddl requires [[routes]] (DM task mode: helper-table "
+                "classification is per source table)"
+            )
+
     for req in ("log", "target"):
         if req not in raw:
             raise ValueError(f"config missing required key: {req!r}")
@@ -147,6 +162,7 @@ def load_config(path: str) -> ChangefeedConfig:
         ignore_txn_start_ts=[int(x) for x in filt.get("ignore-txn-start-ts", [])],
         event_filter=filt.get("event-filter"),
         sql_patterns=sql_patterns,
+        online_ddl=online_ddl,
         routes=routes,
         stream_checkpoint=raw.get("stream-checkpoint"),
         max_files_per_trigger=raw.get("max-files-per-trigger") or None,
@@ -203,4 +219,5 @@ def build_engine(cfg: ChangefeedConfig):
         event_filter=cfg.event_filter,
         validate_rows=cfg.validate_rows,
         sql_patterns=cfg.sql_patterns,
+        online_ddl=cfg.online_ddl,
     )

@@ -829,6 +829,7 @@ class MultiTableEngine:
         event_filter: str | None = None,
         validate_rows: bool = False,
         sql_patterns: list[str] | None = None,
+        online_ddl: str | None = None,
     ):
         from tiflow_spark.model import DEFAULT_TABLE
 
@@ -840,6 +841,19 @@ class MultiTableEngine:
         self.event_filter = event_filter
         self.validate_rows = validate_rows
         self.sql_patterns = list(sql_patterns or [])
+        # online-DDL plugin (D2, dm/syncer/online-ddl-tools/online_ddl.go):
+        # scheme name ('gh-ost' | 'pt-osc') or None. When set, helper-table
+        # DML is dropped, ghost-table DDLs stash, and the cut-over
+        # rename_table applies the stash to the real table (see
+        # _coordinate_online_ddl).
+        if online_ddl is not None:
+            from tiflow_spark.operators.filters import ONLINE_DDL_SCHEMES
+
+            if online_ddl not in ONLINE_DDL_SCHEMES:
+                raise ValueError(
+                    f"online_ddl must be one of {sorted(ONLINE_DDL_SCHEMES)}"
+                )
+        self.online_ddl = online_ddl
         unknown = {tgt for _, tgt in self.rules} - set(self.tables)
         if unknown:
             raise ValueError(f"route rules target unknown tables: {sorted(unknown)}")
@@ -874,6 +888,52 @@ class MultiTableEngine:
                 pred = pred | (m & not_earlier)
             not_earlier = not_earlier & ~m
         return pred
+
+    # ---------------------------------------------------------- online DDL
+    def _coordinate_online_ddl(self, control) -> list:
+        """Online-DDL plugin (D2, dm/syncer/online-ddl-tools/online_ddl.go:
+        46-88,195-260): walk the full control DDL stream in order and return
+        the REPLICATED plan — trash-table DDLs dropped, ghost-table DDLs
+        stashed per real table, and each cut-over ``rename_table``
+        (ghost → real) expanded into its ghost's stashed DDLs re-timed to
+        the rename's commit_ts, which is gh-ost's contract: the ALTER takes
+        effect on the real table at the atomic rename. The rename itself is
+        not replicated (the downstream never has the helper tables). A
+        rename consumes its stash, so back-to-back migrations of the same
+        table never double-apply. Pure function of the immutable control
+        stream — a resumed run reconstructs the identical plan, so no stash
+        persistence is needed (DM persists its stash only because it cannot
+        re-read the purged binlog; this log is the durable WAL)."""
+        from tiflow_spark.operators.filters import classify_online_ddl
+
+        out = []
+        stash: dict[str, list] = {}
+        rows = sorted(
+            (r for r in control if r["op"] == OP_DDL),
+            key=lambda r: (r["commit_ts"], r["seq"]),
+        )
+        for r in rows:
+            d = json.loads(r["ddl"])
+            kind, real = classify_online_ddl(r["tbl"], self.online_ddl)
+            if kind == "trash":
+                continue
+            if kind == "ghost":
+                stash.setdefault(real, []).append(d)
+                continue
+            if d.get("action") == "rename_table":
+                gkind, greal = classify_online_ddl(
+                    d.get("from"), self.online_ddl
+                )
+                if gkind == "ghost" and greal == (d.get("to") or r["tbl"]):
+                    for sd in stash.pop(greal, []):
+                        out.append({
+                            "op": OP_DDL, "commit_ts": r["commit_ts"],
+                            "seq": r["seq"], "ddl": json.dumps(sd),
+                            "tbl": greal,
+                        })
+                continue  # bare rename_table: not replicable downstream
+            out.append(r)
+        return out
 
     # ------------------------------------------------------------ lifecycle
     def read_log(self, spark: SparkSession) -> DataFrame:
@@ -923,9 +983,16 @@ class MultiTableEngine:
             manifests[name] = m
         chk0 = min(m["checkpoint_ts"] for m in manifests.values())
         # one control-plane collect per run (sidecar-aware, see read_control);
-        # DDL rows carry their source table for driver-side routing
+        # DDL rows carry their source table for driver-side routing. With
+        # online-DDL on, read from 0: the stash plan needs ghost DDLs that
+        # may precede the checkpoint (the control set is tiny)
         control = read_control(
-            spark, self.log_path, chk0, ("op", "commit_ts", "seq", "ddl", "tbl")
+            spark, self.log_path, 0 if self.online_ddl else chk0,
+            ("op", "commit_ts", "seq", "ddl", "tbl"),
+        )
+        ddl_plan = (
+            self._coordinate_online_ddl(control) if self.online_ddl
+            else [r for r in control if r["op"] == OP_DDL]
         )
         resolved = [
             (r["seq"], r["commit_ts"]) for r in control if r["op"] == OP_RESOLVED
@@ -965,16 +1032,22 @@ class MultiTableEngine:
                 m = manifests[name]
                 if m["checkpoint_ts"] >= barrier:
                     continue  # this table already passed the barrier (resume)
+                routed = log.filter(self._route_pred(name))
+                if self.online_ddl:
+                    from tiflow_spark.operators.filters import (
+                        online_ddl_dml_filter,
+                    )
+
+                    routed = online_ddl_dml_filter(routed, self.online_ddl)
                 sliced = watermark_cut(
-                    log.filter(self._route_pred(name)),
+                    routed,
                     low_ts=m["checkpoint_ts"],
                     high_ts=barrier,
                 )
                 ddl_rows = [
                     r
-                    for r in control
-                    if r["op"] == OP_DDL
-                    and m["checkpoint_ts"] < r["commit_ts"] <= barrier
+                    for r in ddl_plan
+                    if m["checkpoint_ts"] < r["commit_ts"] <= barrier
                     and self.route_name(r["tbl"]) == name
                 ]
                 sub = ChangefeedEngine(
@@ -1030,24 +1103,35 @@ class MultiTableEngine:
         control = read_control(
             spark,
             self.log_path,
-            min(manifests[n]["checkpoint_ts"] for n in behind),
+            0 if self.online_ddl
+            else min(manifests[n]["checkpoint_ts"] for n in behind),
             ("op", "commit_ts", "seq", "ddl", "tbl"),
+        )
+        ddl_plan = (
+            self._coordinate_online_ddl(control) if self.online_ddl
+            else [r for r in control if r["op"] == OP_DDL]
         )
         out: list[EpochStats] = []
         for name, table in self.tables.items():
             if name not in behind:
                 continue
             m = manifests[name]
+            routed = log.filter(self._route_pred(name))
+            if self.online_ddl:
+                from tiflow_spark.operators.filters import (
+                    online_ddl_dml_filter,
+                )
+
+                routed = online_ddl_dml_filter(routed, self.online_ddl)
             sliced = watermark_cut(
-                log.filter(self._route_pred(name)),
+                routed,
                 low_ts=m["checkpoint_ts"],
                 high_ts=barrier_ts,
             )
             ddl_rows = [
                 r
-                for r in control
-                if r["op"] == OP_DDL
-                and m["checkpoint_ts"] < r["commit_ts"] <= barrier_ts
+                for r in ddl_plan
+                if m["checkpoint_ts"] < r["commit_ts"] <= barrier_ts
                 and self.route_name(r["tbl"]) == name
             ]
             # same filter config as the batch path — without it the

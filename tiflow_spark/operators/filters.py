@@ -276,3 +276,53 @@ def engine_event_filters(
     if event_filter:
         df = expr_filter(df, event_filter)
     return df
+
+
+# ---------------------------------------------------------------- online DDL
+# gh-ost / pt-osc helper-table name patterns (dm/syncer/online-ddl-tools/
+# online_ddl.go:46-88 RealName/TableType): the tool applies the ALTER to a
+# ghost copy, backfills it, and atomically RENAMEs it over the real table;
+# its helper tables must never replicate.
+import re as _re
+
+ONLINE_DDL_SCHEMES = {
+    "gh-ost": (_re.compile(r"^_(.+)_gho$", _re.IGNORECASE),
+               _re.compile(r"^_(.+)_(?:ghc|del)$", _re.IGNORECASE)),
+    "pt-osc": (_re.compile(r"^_(.+)_new$", _re.IGNORECASE),
+               _re.compile(r"^_(.+)_old$", _re.IGNORECASE)),
+}
+
+# executor-side twin of the classifier: one anchored rlike over the table
+# name's last dot-segment — MUST match classify_online_ddl row for row
+_ONLINE_DDL_DROP_RE = {
+    "gh-ost": r"(?i)(?:^|\.)_.+_(?:gho|ghc|del)$",
+    "pt-osc": r"(?i)(?:^|\.)_.+_(?:new|old)$",
+}
+
+
+def classify_online_ddl(table: str | None, scheme: str) -> tuple[str, str | None]:
+    """(kind, real_table) for one source-table name under an online-DDL
+    naming scheme: kind is 'real' | 'ghost' | 'trash'; real_table is the
+    underlying table the helper belongs to (schema prefix preserved), or
+    the input itself for real tables. None (default-table) is real."""
+    if table is None:
+        return "real", None
+    ghost_re, trash_re = ONLINE_DDL_SCHEMES[scheme]
+    schema, sep, name = table.rpartition(".")
+    m = ghost_re.match(name)
+    if m:
+        return "ghost", schema + sep + m.group(1)
+    m = trash_re.match(name)
+    if m:
+        return "trash", schema + sep + m.group(1)
+    return "real", table
+
+
+def online_ddl_dml_filter(df: DataFrame, scheme: str) -> DataFrame:
+    """Drop DML of online-DDL helper tables (ghost backfill writes and
+    trash-table churn must not replicate — dm/syncer/online-ddl-tools
+    trash/ghost handling); rows with a NULL table (default table) and all
+    real-table rows pass. JVM-side anchored rlike, no Python."""
+    return drop_matching(
+        df, F.col("tbl").rlike(_ONLINE_DDL_DROP_RE[scheme])
+    )

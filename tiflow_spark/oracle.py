@@ -99,6 +99,7 @@ def sequential_apply(
     ignore_txn_start_ts: set[int] | None = None,
     sql_patterns: list[str] | None = None,
     shard_merge: bool = False,
+    online_ddl: str | None = None,
 ) -> pd.DataFrame:
     """Replay the log onto the base snapshot; return the final table.
 
@@ -127,6 +128,41 @@ def sequential_apply(
 
     events = pq.read_table(log_dir_or_file).to_pylist()
     events.sort(key=_event_sort_key)
+
+    if online_ddl:
+        # online-DDL plugin twin (engine._coordinate_online_ddl +
+        # online_ddl_dml_filter): drop helper-table DML, stash ghost DDLs,
+        # splice each stash into the stream at its cut-over rename — then
+        # the normal replay path below applies the transformed stream
+        from tiflow_spark.operators.filters import classify_online_ddl
+
+        transformed, od_stash = [], {}
+        for ev in events:
+            op = ev["op"]
+            if op not in ("I", "U", "D", "DDL"):
+                transformed.append(ev)
+                continue
+            kind, real = classify_online_ddl(ev.get("tbl"), online_ddl)
+            if kind == "trash":
+                continue
+            if kind == "ghost":
+                if op == "DDL":
+                    od_stash.setdefault(real, []).append(
+                        json.loads(ev["ddl"]))
+                continue  # ghost backfill DML never replicates
+            if op == "DDL":
+                d = json.loads(ev["ddl"])
+                if d.get("action") == "rename_table":
+                    gk, greal = classify_online_ddl(
+                        d.get("from"), online_ddl)
+                    if gk == "ghost" and greal == (d.get("to")
+                                                  or ev.get("tbl")):
+                        for sd in od_stash.pop(greal, []):
+                            transformed.append(
+                                {**ev, "ddl": json.dumps(sd), "tbl": greal})
+                    continue  # the rename itself is not replicable
+            transformed.append(ev)
+        events = transformed
 
     for ev in events:
         op = ev["op"]
