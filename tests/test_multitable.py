@@ -596,3 +596,50 @@ def test_online_ddl_config_surface(tmp_path):
     no_routes.write_text(f'log = "{log}"\ntarget = "t"\nonline-ddl = "gh-ost"\n')
     with pytest.raises(ValueError, match="routes"):
         load_config(str(no_routes))
+
+
+def test_online_ddl_pt_osc_flow(spark, tmp_path):
+    """pt-osc scheme end-to-end: `_t_new` is the ghost, `_t_old` the trash
+    — same stash/flush contract as gh-ost, plus the bare (non-online)
+    rename_table is simply not replicated."""
+    base = write_base(
+        os.path.join(str(tmp_path), "base", "t.parquet"),
+        [("c1", 0, "user", "v0", None, "2024-01-01T00:00:00")],
+    )
+    events = [
+        ev(0, "DDL", 101, ddl={"action": "add_column", "name": "note",
+                               "type": "string", "default": "p"},
+           tbl="app._users_new"),
+        ev(1, "I", 102, "c1", 0, pl("copy"), tbl="app._users_new"),
+        ev(2, "I", 103, "zz", 0, pl("old churn"), tbl="app._users_old"),
+        # a bare rename of an unrelated (non-helper) table: dropped, not fatal
+        ev(3, "DDL", 104, ddl={"action": "rename_table",
+                               "from": "app.aux", "to": "app.aux2"},
+           tbl="app.aux"),
+        ev(4, "DDL", 200, ddl={"action": "rename_table",
+                               "from": "app._users_new", "to": "app.users"},
+           tbl="app.users"),
+        ev(5, "U", 201, "c2", 0, pl("post", note="x"), tbl="app.users",
+           ver=None),
+        ev(6, "R", 300),
+    ]
+    log_dir = write_log(os.path.join(str(tmp_path), "log"), events)
+    eng = MultiTableEngine(
+        log_dir,
+        tables={"users": LakeTable(str(tmp_path / "tgt"), num_buckets=2)},
+        rules=[("app.*", "users")],
+        online_ddl="pt-osc",
+    )
+    eng.bootstrap(spark, {"users": os.path.dirname(base)})
+    eng.run(spark)
+    reg = eng.tables["users"].registry()
+    assert [v.version for v in reg.versions] == [1, 2]
+    assert reg.versions[1].active_from_ts == 200
+    got = eng.final_state(spark, "users").toPandas()
+    assert set(got["conv_id"]) == {"c1", "c2"}
+    assert_tables_equal(
+        got,
+        sequential_apply(base, log_dir,
+                         source_tables={"app.users", "app.aux"},
+                         shard_merge=True, online_ddl="pt-osc"),
+    )
